@@ -1,0 +1,13 @@
+from mmvid_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated,
+    param_shardings,
+    shard_params,
+    shard_batch,
+)
+
+__all__ = [
+    'make_mesh', 'batch_sharding', 'replicated', 'param_shardings',
+    'shard_params', 'shard_batch',
+]

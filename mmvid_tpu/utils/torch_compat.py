@@ -1,0 +1,190 @@
+"""Torch-checkpoint compatibility: load the reference's released weights into
+this framework's pytrees (hard requirement, SURVEY.md §5 checkpoint/resume).
+
+Formats understood:
+* taming VQGAN ``.ckpt`` — Lightning dict with weights under ``state_dict``
+  (reference taming/models/vqgan.py:55-64, loaded non-strict in
+  mmvid_pytorch/vae.py:28-30).
+* MMVID ``dalle.pt`` — ``{iter, hparams, vae_params, weights, optimizer}``
+  (reference utils/utils_train.py:297-305).
+* OpenAI CLIP ``ViT-B-32.pt`` — torch.jit archive
+  (reference mmvid_pytorch/transformers/clip_model.py:535).
+
+torch is a *load-time only* dependency: everything is converted to numpy and
+never touches torch at runtime.
+
+Layout conversions:
+* Conv2d  (O, I, kh, kw)  ->  NHWC HWIO  (kh, kw, I, O)
+* Linear  (O, I)          ->  (I, O)
+* Norm weight/bias        ->  scale/bias unchanged
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str, key: str | None = 'state_dict'
+                          ) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint file into a flat {name: np.ndarray} dict."""
+    import torch
+    obj = torch.load(path, map_location='cpu', weights_only=False)
+    if key is not None and isinstance(obj, dict) and key in obj:
+        obj = obj[key]
+    if hasattr(obj, 'state_dict'):
+        obj = obj.state_dict()
+    return {k: v.detach().cpu().numpy() for k, v in obj.items()
+            if hasattr(v, 'detach')}
+
+
+def load_torchjit_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch.jit archive (e.g. ViT-B-32.pt) state dict."""
+    import torch
+    model = torch.jit.load(path, map_location='cpu')
+    return {k: v.detach().cpu().float().numpy()
+            for k, v in model.state_dict().items()}
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _assign(tree: Dict[str, Any], path: list[str], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+# ---------------------------------------------------------------------------
+# VQGAN
+# ---------------------------------------------------------------------------
+
+_VQ_SUBS = [
+    (re.compile(r'\bdown\.(\d+)\.block\.(\d+)\b'), r'down_\1_block_\2'),
+    (re.compile(r'\bdown\.(\d+)\.attn\.(\d+)\b'), r'down_\1_attn_\2'),
+    (re.compile(r'\bdown\.(\d+)\.downsample\b'), r'down_\1_downsample'),
+    (re.compile(r'\bup\.(\d+)\.block\.(\d+)\b'), r'up_\1_block_\2'),
+    (re.compile(r'\bup\.(\d+)\.attn\.(\d+)\b'), r'up_\1_attn_\2'),
+    (re.compile(r'\bup\.(\d+)\.upsample\b'), r'up_\1_upsample'),
+    (re.compile(r'\bmid\.block_1\b'), 'mid_block_1'),
+    (re.compile(r'\bmid\.attn_1\b'), 'mid_attn_1'),
+    (re.compile(r'\bmid\.block_2\b'), 'mid_block_2'),
+]
+
+_NORM_NAMES = {'norm', 'norm1', 'norm2', 'norm_out'}
+
+
+def convert_vqgan(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """taming VQModel state_dict -> flax params for mmvid_tpu VQModel.
+
+    Ignores training-only keys (``loss.*`` discriminator/LPIPS), matching the
+    reference's non-strict load (mmvid_pytorch/vae.py:30).
+    """
+    params: Dict[str, Any] = {}
+    for name, w in sd.items():
+        if name.startswith('loss.') or name.startswith('colorize'):
+            continue
+        if name == 'quantize.embedding.weight':
+            _assign(params, ['quantize', 'embedding'], np.asarray(w))
+            continue
+        key = name
+        for rx, sub in _VQ_SUBS:
+            key = rx.sub(sub, key)
+        parts = key.split('.')
+        leaf = parts[-1]
+        mod = parts[-2]
+        if leaf == 'weight':
+            if w.ndim == 4:
+                _assign(params, parts[:-1] + ['kernel'], _conv_kernel(w))
+            elif mod in _NORM_NAMES or any(p in _NORM_NAMES for p in parts):
+                _assign(params, parts[:-1] + ['scale'], np.asarray(w))
+            else:
+                _assign(params, parts[:-1] + ['kernel'],
+                        np.asarray(w).T if w.ndim == 2 else np.asarray(w))
+        elif leaf == 'bias':
+            _assign(params, parts[:-1] + ['bias'], np.asarray(w))
+        else:
+            _assign(params, parts, np.asarray(w))
+    return params
+
+
+def load_vqgan_checkpoint(path: str) -> Dict[str, Any]:
+    return convert_vqgan(load_torch_state_dict(path, key='state_dict'))
+
+
+# ---------------------------------------------------------------------------
+# CLIP backbone (transformer stack only, as used by OpenAICLIPTransformer)
+# ---------------------------------------------------------------------------
+
+def convert_clip_resblocks(sd: Dict[str, np.ndarray], prefix: str
+                           ) -> Dict[str, Any]:
+    """Convert ``{prefix}.resblocks.{i}.*`` of a CLIP state_dict to the flax
+    params of mmvid_tpu.models.clip.TransformerStack.
+
+    The reference jit-loads ViT-B-32.pt and pulls either ``transformer``
+    (text, width 512) or ``visual.transformer`` (width 768)
+    (clip_model.py:538-543).  nn.MultiheadAttention's packed in_proj
+    (3D, D) splits into q/k/v.
+    """
+    params: Dict[str, Any] = {}
+    pat = re.compile(re.escape(prefix) + r'\.resblocks\.(\d+)\.(.*)')
+    for name, w in sd.items():
+        m = pat.match(name)
+        if not m:
+            continue
+        i, rest = int(m.group(1)), m.group(2)
+        blk = f'blocks_{i}'
+        w = np.asarray(w, dtype=np.float32)
+        if rest == 'attn.in_proj_weight':
+            d = w.shape[1]
+            for j, nm in enumerate(('query', 'key', 'value')):
+                _assign(params, [blk, 'attn', nm, 'kernel'],
+                        w[j * d:(j + 1) * d].T)
+        elif rest == 'attn.in_proj_bias':
+            d = w.shape[0] // 3
+            for j, nm in enumerate(('query', 'key', 'value')):
+                _assign(params, [blk, 'attn', nm, 'bias'],
+                        w[j * d:(j + 1) * d])
+        elif rest == 'attn.out_proj.weight':
+            _assign(params, [blk, 'attn', 'out', 'kernel'], w.T)
+        elif rest == 'attn.out_proj.bias':
+            _assign(params, [blk, 'attn', 'out', 'bias'], w)
+        elif rest == 'ln_1.weight':
+            _assign(params, [blk, 'ln_1', 'scale'], w)
+        elif rest == 'ln_1.bias':
+            _assign(params, [blk, 'ln_1', 'bias'], w)
+        elif rest == 'ln_2.weight':
+            _assign(params, [blk, 'ln_2', 'scale'], w)
+        elif rest == 'ln_2.bias':
+            _assign(params, [blk, 'ln_2', 'bias'], w)
+        elif rest == 'mlp.c_fc.weight':
+            _assign(params, [blk, 'mlp', 'fc', 'kernel'], w.T)
+        elif rest == 'mlp.c_fc.bias':
+            _assign(params, [blk, 'mlp', 'fc', 'bias'], w)
+        elif rest == 'mlp.c_proj.weight':
+            _assign(params, [blk, 'mlp', 'proj', 'kernel'], w.T)
+        elif rest == 'mlp.c_proj.bias':
+            _assign(params, [blk, 'mlp', 'proj', 'bias'], w)
+    return params
+
+
+def clip_stack_dims(sd: Dict[str, np.ndarray], prefix: str):
+    """(width, n_layers, n_heads) of a CLIP resblock stack."""
+    layers = {int(m.group(1)) for m in
+              (re.match(re.escape(prefix) + r'\.resblocks\.(\d+)\.', k)
+               for k in sd) if m}
+    width = sd[f'{prefix}.resblocks.0.ln_1.weight'].shape[0]
+    return width, len(layers), width // 64
+
+
+def to_f32_tree(tree):
+    """Cast every leaf to float32 (checkpoints may ship fp16)."""
+    import jax
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x, dtype=np.float32)
+        if np.issubdtype(np.asarray(x).dtype, np.floating) else np.asarray(x),
+        tree)
