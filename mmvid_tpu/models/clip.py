@@ -1,0 +1,161 @@
+"""CLIP-architecture transformer backbone, TPU-native.
+
+Parity target: mmvid_pytorch/transformers/clip_model.py.
+* ResidualAttentionBlock (pre-LN, nn.MultiheadAttention, QuickGELU MLP):
+  clip_model.py:201-227.
+* fp32 LayerNorm islands regardless of compute dtype: clip_model.py:188-193.
+* OpenAICLIPTransformer semantics: take the text (width 512) or visual
+  (width 768) resblock stack of a CLIP checkpoint and rewrite every block's
+  additive attention mask as ``causal`` (upper-triangular -inf) or
+  ``mask_prev`` (only the estimation-token rows [ST1]/[VID] are blinded to
+  all earlier keys): clip_model.py:520-584.
+
+TPU-first notes: batch-first [B, L, D] layout throughout (the reference
+permutes NLD->LND for torch's MHA; XLA prefers batch-major), one fused QKV
+projection is split as q/k/v Dense layers so tensor-parallel sharding rules
+(mmvid_tpu.parallel.mesh) can column/row-split them, softmax in fp32,
+matmuls in the configurable compute dtype (bf16 on TPU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9  # finite stand-in for -inf: keeps softmax NaN-free in bf16
+
+
+@dataclasses.dataclass(frozen=True)
+class ClipStackConfig:
+    width: int = 768          # ViT-B/32 visual stack (text stack: 512)
+    layers: int = 12
+    heads: int = 12
+
+    @property
+    def head_dim(self) -> int:
+        return self.width // self.heads
+
+
+def build_attention_mask(context_length: int, mask_type: str = 'causal',
+                         index: Optional[Sequence[int]] = None) -> jax.Array:
+    """Additive [L, L] mask (clip_model.py:561-578).
+
+    ``causal``: token i attends to keys <= i.
+    ``mask_prev``: fully bidirectional except rows in ``index`` (the [ST1]
+    and [VID] estimation tokens) cannot see keys before their own position.
+    """
+    if mask_type == 'causal':
+        mask = jnp.triu(
+            jnp.full((context_length, context_length), NEG_INF,
+                     dtype=jnp.float32), k=1)
+    elif mask_type == 'mask_prev':
+        mask = jnp.zeros((context_length, context_length), dtype=jnp.float32)
+        for i in index or ():
+            mask = mask.at[i, :i].set(NEG_INF)
+    else:
+        raise NotImplementedError(mask_type)
+    return mask
+
+
+class QuickGELU(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        return x * jax.nn.sigmoid(1.702 * x)
+
+
+def _ln(name: str):
+    # fp32 LayerNorm island (clip_model.py:188-193)
+    return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)
+
+
+class MultiHeadAttention(nn.Module):
+    """Parity with torch nn.MultiheadAttention self-attention."""
+    width: int
+    heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        b, l, d = x.shape
+        h, hd = self.heads, self.width // self.heads
+        q = nn.Dense(self.width, dtype=self.dtype, name='query')(x)
+        k = nn.Dense(self.width, dtype=self.dtype, name='key')(x)
+        v = nn.Dense(self.width, dtype=self.dtype, name='value')(x)
+        q = q.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
+        logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits * (hd ** -0.5)
+        if mask is not None:
+            logits = logits + mask[None, None, :l, :l]
+        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum('bhqk,bhkd->bhqd', attn, v,
+                         preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, d).astype(self.dtype)
+        return nn.Dense(self.width, dtype=self.dtype, name='out')(out)
+
+
+class Mlp(nn.Module):
+    width: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(4 * self.width, dtype=self.dtype, name='fc')(x)
+        x = QuickGELU()(x)
+        return nn.Dense(self.width, dtype=self.dtype, name='proj')(x)
+
+
+class ResidualAttentionBlock(nn.Module):
+    width: int
+    heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        h = _ln('ln_1')(x).astype(self.dtype)
+        x = x + MultiHeadAttention(self.width, self.heads, dtype=self.dtype,
+                                   name='attn')(h, mask)
+        h = _ln('ln_2')(x).astype(self.dtype)
+        x = x + Mlp(self.width, dtype=self.dtype, name='mlp')(h)
+        return x
+
+
+class TransformerStack(nn.Module):
+    """The resblock stack used as the MMVID backbone.
+
+    The additive mask is a static [L, L] array applied at every block, as in
+    the reference (every resblock gets the same rewritten attn_mask,
+    clip_model.py:545-554).
+    """
+    cfg: ClipStackConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        x = x.astype(self.dtype)
+        for i in range(self.cfg.layers):
+            x = ResidualAttentionBlock(self.cfg.width, self.cfg.heads,
+                                       dtype=self.dtype,
+                                       name=f'blocks_{i}')(x, mask)
+        return x.astype(jnp.float32)
+
+
+def load_openai_clip_stack(model_path: str,
+                           which_model: str = 'openai_clip_visual'):
+    """Load ViT-B-32.pt (torch.jit archive) and return
+    (ClipStackConfig, flax params) for the requested stack
+    (clip_model.py:535-543)."""
+    from mmvid_tpu.utils.torch_compat import (
+        clip_stack_dims, convert_clip_resblocks, load_torchjit_state_dict)
+    sd = load_torchjit_state_dict(model_path)
+    prefix = ('visual.transformer' if which_model == 'openai_clip_visual'
+              else 'transformer')
+    width, layers, heads = clip_stack_dims(sd, prefix)
+    params = convert_clip_resblocks(sd, prefix)
+    return ClipStackConfig(width=width, layers=layers, heads=heads), params

@@ -131,7 +131,8 @@ def convert_clip_resblocks(sd: Dict[str, np.ndarray], prefix: str
     (3D, D) splits into q/k/v.
     """
     params: Dict[str, Any] = {}
-    pat = re.compile(re.escape(prefix) + r'\.resblocks\.(\d+)\.(.*)')
+    head = re.escape(prefix) + r'\.' if prefix else ''
+    pat = re.compile(head + r'resblocks\.(\d+)\.(.*)')
     for name, w in sd.items():
         m = pat.match(name)
         if not m:
@@ -174,11 +175,124 @@ def convert_clip_resblocks(sd: Dict[str, np.ndarray], prefix: str
 
 def clip_stack_dims(sd: Dict[str, np.ndarray], prefix: str):
     """(width, n_layers, n_heads) of a CLIP resblock stack."""
+    head = f'{prefix}.' if prefix else ''
     layers = {int(m.group(1)) for m in
-              (re.match(re.escape(prefix) + r'\.resblocks\.(\d+)\.', k)
+              (re.match(re.escape(head) + r'resblocks\.(\d+)\.', k)
                for k in sd) if m}
-    width = sd[f'{prefix}.resblocks.0.ln_1.weight'].shape[0]
+    width = sd[f'{head}resblocks.0.ln_1.weight'].shape[0]
     return width, len(layers), width // 64
+
+
+# ---------------------------------------------------------------------------
+# BERT / ARTV (dalle.pt)
+# ---------------------------------------------------------------------------
+
+_SEQ_HEADS = {  # torch Sequential(LayerNorm, Linear) head names
+    'to_logits': ('to_logits_ln', 'to_logits_fc'),
+    'to_logits_rel': ('to_logits_rel_ln', 'to_logits_rel_fc'),
+    'to_logits_vid': ('to_logits_vid_ln', 'to_logits_vid_fc'),
+}
+
+_TFM_BOTTLENECK = {  # Sequential(LN, Linear, LN, Linear, LN)
+    '0': 'tfm_ln0', '1': 'tfm_fc0', '2': 'tfm_ln1', '3': 'tfm_fc1',
+    '4': 'tfm_ln2',
+}
+
+
+def convert_bert(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """dalle.pt ``weights`` state_dict -> flax params for BertCore.
+
+    Also extracts the frozen VQGANs stored inside the checkpoint
+    (``vae.model.*`` / ``cvae.model.*``) -> params under '_vae' / '_cvae'
+    side keys for the caller to hand to VQGanVAE.
+    (Checkpoint format: utils/utils_train.py:297-305; module names from
+    mmvid_pytorch/dalle_bert.py:259-432.)
+    """
+    params: Dict[str, Any] = {}
+    vae_sd: Dict[str, np.ndarray] = {}
+    cvae_sd: Dict[str, np.ndarray] = {}
+    clip_sd: Dict[str, np.ndarray] = {}
+
+    for name, w in sd.items():
+        w = np.asarray(w)
+        if name.startswith('vae.model.'):
+            vae_sd[name[len('vae.model.'):]] = w
+            continue
+        if name.startswith('cvae.model.'):
+            cvae_sd[name[len('cvae.model.'):]] = w
+            continue
+        if name.startswith('transformer.transformer.'):
+            clip_sd[name[len('transformer.'):]] = w
+            continue
+        if name.endswith('_emb.weight') and '.' not in name[:-7]:
+            # {text,text_pos,image,visual,special,special_pos}_emb
+            _assign(params, [name[:-7], 'embedding'], w)
+            continue
+        if name.startswith('target_pos_emb.'):
+            _assign(params, ['target_pos_emb', name.split('.', 1)[1]], w)
+            continue
+        if name.startswith('visual_pos_emb.module_list.'):
+            _, _, i, leaf = name.split('.')
+            _assign(params, ['visual_pos_emb', f'module_list_{i}', leaf], w)
+            continue
+        head = name.split('.')[0]
+        if head in _SEQ_HEADS:
+            _, idx, leaf = name.split('.')
+            ln_name, fc_name = _SEQ_HEADS[head]
+            if idx == '0':  # LayerNorm
+                _assign(params, [ln_name,
+                                 'scale' if leaf == 'weight' else 'bias'], w)
+            else:           # Linear
+                _assign(params, [fc_name,
+                                 'kernel' if leaf == 'weight' else 'bias'],
+                        w.T if leaf == 'weight' else w)
+            continue
+        if name.startswith('text_feature_mapping.'):
+            parts = name.split('.')
+            if len(parts) == 2:  # plain Linear
+                leaf = parts[1]
+                _assign(params, ['tfm_fc',
+                                 'kernel' if leaf == 'weight' else 'bias'],
+                        w.T if leaf == 'weight' else w)
+            else:
+                idx, leaf = parts[1], parts[2]
+                target = _TFM_BOTTLENECK[idx]
+                if target.startswith('tfm_ln'):
+                    _assign(params, [target,
+                                     'scale' if leaf == 'weight' else 'bias'],
+                            w)
+                else:
+                    _assign(params, [target,
+                                     'kernel' if leaf == 'weight' else 'bias'
+                                     ], w.T if leaf == 'weight' else w)
+            continue
+        # unknown / vestigial keys are skipped (reference loads non-strict
+        # at test time, test.py:133-153)
+
+    if clip_sd:
+        params['transformer'] = convert_clip_resblocks(clip_sd, 'transformer')
+    out = {'params': params}
+    if vae_sd:
+        out['_vae'] = convert_vqgan(vae_sd)
+    if cvae_sd:
+        out['_cvae'] = convert_vqgan(cvae_sd)
+    return out
+
+
+def load_dalle_checkpoint(path: str):
+    """Load dalle.pt -> (iter, hparams, vae_params_meta, converted trees)."""
+    import torch
+    obj = torch.load(path, map_location='cpu', weights_only=False)
+    weights = {k: v.detach().cpu().numpy() for k, v in obj['weights'].items()}
+    trees = convert_bert(weights)
+    return {
+        'iter': obj.get('iter', 0),
+        'hparams': obj.get('hparams', {}),
+        'vae_params': obj.get('vae_params', None),
+        'params': trees['params'],
+        'vae': trees.get('_vae'),
+        'cvae': trees.get('_cvae'),
+    }
 
 
 def to_f32_tree(tree):

@@ -156,6 +156,75 @@ def _install_bert_deps():
         transforms.RandomErasing = RandomErasing
 
 
+class FakeVae:
+    """Duck-typed stand-in for VQGanVAE1024 so the reference BERT can be
+    built without a real VQGAN (tokens are fed pre-tokenized: the reference
+    get_image_tokens passes 2-D inputs through untouched,
+    dalle_bert.py:729-751)."""
+
+    def __init__(self, image_size=32, num_layers=2, num_tokens=1024):
+        self.image_size = image_size
+        self.num_layers = num_layers
+        self.num_tokens = num_tokens
+
+    def parameters(self):
+        return []
+
+
+def load_reference_bert(dim=64, heads=2, layers=2, text_seq_len=8,
+                        num_text_tokens=100, num_visuals=0, num_targets=2,
+                        image_size=32, vae_layers=2, num_tokens=1024,
+                        seed=0, **bert_kwargs):
+    """Build the reference BERT with a file-free CLIP transformer stack.
+
+    The reference's OpenAICLIPTransformer torch.jit-loads ViT-B-32.pt
+    (clip_model.py:535); for oracle purposes we substitute a subclass that
+    builds the same reference `Transformer` stack (same ResidualAttentionBlock
+    modules, same mask-rewrite logic) with random weights instead of loading
+    the file, preserving the ``transformer.transformer.resblocks.*``
+    state_dict naming.
+    """
+    install_reference(need_bert_deps=True)
+    import torch
+    import torch.nn as nn
+    torch.manual_seed(seed)
+
+    from mmvid_pytorch.transformers import clip_model
+
+    class FileFreeCLIPTransformer(clip_model.OpenAICLIPTransformer):
+        def __init__(self, seq_len=0, which_model='openai_clip_visual',
+                     model_path='', causal=True, mask_type='causal',
+                     mask_kwargs=None):
+            nn.Module.__init__(self)
+            self.context_length = seq_len
+            self.causal = causal
+            model = clip_model.Transformer(width=dim, layers=layers,
+                                           heads=heads)
+            if causal:
+                for attn_block in model.resblocks:
+                    attn_block.attn_mask = self.build_attention_mask(
+                        seq_len, mask_type=mask_type, **(mask_kwargs or {}))
+            self.transformer = model.float()
+
+    orig = clip_model.OpenAICLIPTransformer
+    clip_model.OpenAICLIPTransformer = FileFreeCLIPTransformer
+    try:
+        import importlib
+        dalle_bert = importlib.import_module('mmvid_pytorch.dalle_bert')
+        vae = FakeVae(image_size=image_size, num_layers=vae_layers,
+                      num_tokens=num_tokens)
+        model = dalle_bert.BERT(
+            dim=dim, vae=vae, num_text_tokens=num_text_tokens,
+            text_seq_len=text_seq_len, num_visuals=num_visuals,
+            num_targets=num_targets,
+            which_transformer='openai_clip_visual',
+            openai_clip_path='', **bert_kwargs)
+    finally:
+        clip_model.OpenAICLIPTransformer = orig
+    model.eval()
+    return model
+
+
 def load_reference_vqmodel(cfg=None, seed: int = 0):
     """Instantiate the reference taming VQModel with an Identity loss."""
     install_reference()
