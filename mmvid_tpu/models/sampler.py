@@ -1,0 +1,247 @@
+"""Mask-predict (PNAG) sampler — batched, jitted, TPU-native.
+
+Parity target: mmvid_pytorch/dalle_bert.py:514-714 (BERT.mask_predict).
+The reference samples ONE item at a time (python loop at :618) with T~20
+full-sequence transformer forwards per item and B sequential beams.  Here the
+whole batch advances together inside a single `lax.while_loop`:
+
+* the 3-phase n(t)/temp(t) schedules are precomputed host-side from
+  mp_config (dalle_bert.py:589-614) and passed as arrays;
+* ``torch.multinomial(Y, k, replacement=False)`` (confidence-weighted
+  re-masking, :647-658) becomes Gumbel top-k (Efraimidis-Spirakis): taking
+  the k largest of ``log Y_i + G_i`` draws an exact weighted sample without
+  replacement, with preserved positions pinned to +inf so they always stay;
+* the per-sample dynamic stop (score not improving for 5 steps, :701-707)
+  becomes per-lane bookkeeping (best score / best tokens / last-improvement
+  step); the while_loop exits when every lane has terminated;
+* beams run as an inner `lax.scan` preserving the reference's *sequential*
+  beam semantics (beam j+1 sees beam j's Y/I updates, :646-691).
+
+Long-video modes (`long` / `interp*`) enter through a static preserve layout
+(dalle_bert.py:543-583): preserved token positions never re-mask and never
+update.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_schedules(mp_config: Dict, N: int, steps: int = 0
+                   ) -> Tuple[np.ndarray, np.ndarray, int]:
+    """n(t) re-mask counts and temp(t) schedules (dalle_bert.py:589-614)."""
+    Tmax = mp_config['T'] if steps <= 0 else steps
+    N3_n = max(1, int(N * mp_config['N3_n']))
+    N4_n = max(1, int(N * mp_config['N4_n']))
+    n = (list(N * np.linspace(mp_config['N1_n'], mp_config['N2_n'],
+                              mp_config['T1_n']))
+         + list(N3_n * np.ones(mp_config['T2_n']))
+         + list(N4_n * np.ones(mp_config['T3_n'])))
+    temp = (list(np.linspace(mp_config['N1_t'], mp_config['N2_t'],
+                             mp_config['T1_t']))
+            + list(mp_config['N3_t'] * np.ones(mp_config['T2_t']))
+            + list(mp_config['N4_t'] * np.ones(mp_config['T3_t'])))
+    n = np.asarray(list(map(int, n)), np.int32)
+    temp = np.asarray(temp, np.float32)
+    # pad so indexing up to Tmax is safe
+    if len(n) < Tmax:
+        n = np.concatenate([n, np.full(Tmax - len(n), n[-1], np.int32)])
+    if len(temp) < Tmax:
+        temp = np.concatenate(
+            [temp, np.full(Tmax - len(temp), temp[-1], np.float32)])
+    return n[:Tmax], temp[:Tmax], Tmax
+
+
+def preserve_layout(cfg, long_mode: str, t_overlap: int,
+                    has_preserve: bool):
+    """Static (preserve_mask [N_total] bool, N) (dalle_bert.py:540-583)."""
+    n_tok = cfg.image_seq_len
+    total = cfg.target_seq_len
+    if long_mode == 'long':
+        if not has_preserve:
+            t_overlap = 0
+        N = total - n_tok * t_overlap
+        mask = np.zeros(total, bool)
+        if has_preserve:
+            mask[:n_tok * t_overlap] = True
+    elif long_mode in ('interp', 'interp2', 'interp_real'):
+        N = total // 2
+        mask = np.zeros((cfg.num_targets, n_tok), bool)
+        if has_preserve:
+            mask[::2, :] = True
+        mask = mask.reshape(-1)
+    else:
+        N = total
+        mask = np.zeros(total, bool)
+    return mask, N
+
+
+def arrange_preserve_tokens(cfg, preserve, long_mode: str, t_overlap: int):
+    """Place given tokens into the target grid (dalle_bert.py:558-580).
+
+    preserve: [B, target_seq_len] token grid from a previous chunk / source
+    video.  Returns [B, target_seq_len] with tokens moved to the preserved
+    slots (everything else [MASK]).
+    """
+    n_tok = cfg.image_seq_len
+    b = preserve.shape[0]
+    out = jnp.full((b, cfg.target_seq_len), cfg.mask_token, jnp.int32)
+    if long_mode == 'long':
+        k = n_tok * t_overlap
+        out = out.at[:, :k].set(preserve[:, -k:])
+    elif long_mode in ('interp', 'interp2', 'interp_real'):
+        t = cfg.num_targets
+        src = preserve.reshape(b, t, n_tok)[:, :t // 2]
+        grid = out.reshape(b, t, n_tok)
+        grid = grid.at[:, ::2, :].set(src)
+        out = grid.reshape(b, -1)
+    return out
+
+
+def _gumbel(key, shape, eps=1e-20):
+    u = jax.random.uniform(key, shape, minval=eps, maxval=1.0)
+    return -jnp.log(-jnp.log(u) + eps)
+
+
+def _sample_multinomial(key, logits, temperature):
+    """Gumbel-noised categorical (dalle_bert.py:527-538): returns
+    (Y = prob of chosen token under the noised softmax, tokens)."""
+    k1, k2 = jax.random.split(key)
+    noised = logits + temperature * _gumbel(k1, logits.shape)
+    probs = jax.nn.softmax(noised, axis=-1)
+    tok = jax.random.categorical(k2, noised, axis=-1)
+    y = jnp.take_along_axis(probs, tok[..., None], axis=-1)[..., 0]
+    return y, tok.astype(jnp.int32)
+
+
+@dataclasses.dataclass(frozen=True)
+class MaskPredictSpec:
+    """Static sampler spec (everything shape-affecting)."""
+    n_sched: tuple
+    temp_sched: tuple
+    Tmax: int
+    beams: int
+    dynamic: bool
+    patience: int = 5  # dynamic stop horizon (dalle_bert.py:706)
+
+
+def build_spec(mp_config: Dict, N: int, steps: int = 0,
+               dynamic: bool = True) -> MaskPredictSpec:
+    n, temp, Tmax = make_schedules(mp_config, N, steps)
+    return MaskPredictSpec(tuple(n.tolist()), tuple(temp.tolist()), Tmax,
+                           int(mp_config.get('B', 1)), dynamic)
+
+
+def mask_predict(core, params, control_emb, key, spec: MaskPredictSpec,
+                 preserve_mask: np.ndarray,
+                 preserve_tokens: Optional[jax.Array] = None):
+    """Run batched mask-predict.
+
+    core: BertCore (bound config); params: its params pytree.
+    control_emb [B, C, D]; preserve_mask [N_total] static bool;
+    preserve_tokens [B, N_total] (tokens at preserved slots; ignored where
+    preserve_mask is False).  Returns tokens [B, N_total] int32.
+    """
+    from mmvid_tpu.models.bert import BertCore
+
+    cfg = core.cfg
+    b = control_emb.shape[0]
+    n_total = cfg.target_seq_len
+    pmask = jnp.asarray(preserve_mask)          # [N]
+    has_preserve = bool(preserve_mask.any())
+    if preserve_tokens is None:
+        preserve_tokens = jnp.full((b, n_total), cfg.mask_token, jnp.int32)
+
+    n_sched = jnp.asarray(spec.n_sched, jnp.int32)
+    temp_sched = jnp.asarray(spec.temp_sched, jnp.float32)
+    N = int(n_total - preserve_mask.sum())      # static re-maskable count
+
+    def forward(tokens, remask):
+        """tokens [B,N] current; remask [B,N] bool True=re-masked to [MASK]."""
+        tok_in = jnp.where(remask, cfg.mask_token, tokens)
+        target_emb = core.apply({'params': params}, tok_in,
+                                method=BertCore.target_embedding)
+        logits, rel, vid, _ = core.apply({'params': params}, control_emb,
+                                         target_emb,
+                                         method=BertCore.forward_full)
+        return logits, rel, vid
+
+    # ---- initial step: everything (except preserved) masked ----
+    key, k0 = jax.random.split(key)
+    init_tokens = jnp.where(pmask[None], preserve_tokens, cfg.mask_token)
+    logits, _, _ = forward(init_tokens, ~pmask[None].repeat(b, 0))
+    Y, I_new = _sample_multinomial(k0, logits, temp_sched[0])
+    I_tok = jnp.where(pmask[None], preserve_tokens, I_new)
+    # preserved slots never resample: pin their confidence high
+    Y = jnp.where(pmask[None], jnp.inf, Y)
+
+    def beam_step(carry, key_t_temp):
+        """One beam pass (sequential semantics, dalle_bert.py:646-691)."""
+        (Y, I_tok, t) = carry
+        key_j, = key_t_temp
+        k1, k2 = jax.random.split(key_j)
+        k_keep = N - n_sched[t - 1]             # tokens to KEEP this step
+        # Gumbel top-k weighted sample w/o replacement over Y
+        scores = jnp.log(jnp.maximum(Y, 1e-30)) + _gumbel(k1, Y.shape)
+        scores = jnp.where(pmask[None], jnp.inf, scores)
+        order = jnp.argsort(-scores, axis=-1)
+        ranks = jnp.argsort(order, axis=-1)
+        keep = ranks < (k_keep + int(preserve_mask.sum()))
+        keep = keep | pmask[None]
+
+        logits, rel, vid = forward(I_tok, ~keep)
+        Y_new, I_new = _sample_multinomial(k2, logits, temp_sched[t])
+        Y_out = jnp.where(keep, Y, Y_new)
+        I_out = jnp.where(keep, I_tok, I_new)
+        S = (jax.nn.sigmoid(rel) + jax.nn.sigmoid(vid)) * 0.5   # [B]
+        return (Y_out, I_out, t), (S, Y_out, I_out)
+
+    def cond(state):
+        t, _, _, _, _, tmax, _ = state
+        if not spec.dynamic:
+            return t < spec.Tmax
+        return jnp.logical_and(
+            t < spec.Tmax,
+            jnp.any(t - tmax < spec.patience))
+
+    def body(state):
+        t, key, Y, I_tok, Smax, tmax, Imax = state
+        key, *beam_keys = jax.random.split(key, spec.beams + 1)
+
+        if spec.beams == 1:
+            (Y_b, I_b, _), (S, _, _) = beam_step(
+                (Y, I_tok, t), (beam_keys[0],))
+            S_best, Y_best, I_best = S, Y_b, I_b
+        else:
+            (_, _, _), (S_all, Y_all, I_all) = jax.lax.scan(
+                beam_step, (Y, I_tok, t),
+                (jnp.stack(beam_keys),))
+            jbest = jnp.argmax(S_all, axis=0)                    # [B]
+            bidx = jnp.arange(b)
+            S_best = S_all[jbest, bidx]
+            Y_best = Y_all[jbest, bidx]
+            I_best = I_all[jbest, bidx]
+
+        active = (t - tmax) < spec.patience if spec.dynamic else \
+            jnp.ones((b,), bool)
+        # frozen lanes keep their state
+        Y = jnp.where(active[:, None], Y_best, Y)
+        I_tok = jnp.where(active[:, None], I_best, I_tok)
+        improved = (S_best > Smax) & active
+        Smax = jnp.where(improved, S_best, Smax)
+        tmax = jnp.where(improved, t, tmax)
+        Imax = jnp.where(improved[:, None], I_tok, Imax)
+        return (t + 1, key, Y, I_tok, Smax, tmax, Imax)
+
+    state = (jnp.int32(1), key, Y, I_tok,
+             jnp.zeros((b,), jnp.float32),       # Smax
+             jnp.zeros((b,), jnp.int32),         # tmax
+             I_tok)                              # Imax
+    state = jax.lax.while_loop(cond, body, state)
+    _, _, _, I_tok, _, _, Imax = state
+    return Imax if spec.dynamic else I_tok

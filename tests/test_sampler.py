@@ -1,0 +1,181 @@
+"""Mask-predict sampler: schedule parity, weighted-sampling statistics,
+preserve semantics, and the full generate_images pipeline."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mmvid_tpu.models.bert import BertConfig, BertCore
+from mmvid_tpu.models.clip import ClipStackConfig
+from mmvid_tpu.models.mmvid import DEFAULT_MP_CONFIG, MMVIDBert
+from mmvid_tpu.models.sampler import (
+    arrange_preserve_tokens,
+    build_spec,
+    make_schedules,
+    mask_predict,
+    preserve_layout,
+)
+from mmvid_tpu.models.vqgan import VQGanConfig, VQGanVAE
+
+TINY_CFG = BertConfig(dim=64, num_text_tokens=50, text_seq_len=6,
+                      num_visuals=0, num_targets=2, num_image_tokens=1024,
+                      image_fmap_size=8, image_size=16,
+                      clip=ClipStackConfig(width=64, layers=2, heads=2))
+
+
+def reference_schedules(mp, N, steps=0):
+    """Independent re-computation of dalle_bert.py:589-614."""
+    Tmax = mp['T'] if steps <= 0 else steps
+    N3 = max(1, int(N * mp['N3_n']))
+    N4 = max(1, int(N * mp['N4_n']))
+    n = (list(N * np.linspace(mp['N1_n'], mp['N2_n'], mp['T1_n']))
+         + list(N3 * np.ones(mp['T2_n'])) + list(N4 * np.ones(mp['T3_n'])))
+    temp = (list(np.linspace(mp['N1_t'], mp['N2_t'], mp['T1_t']))
+            + list(mp['N3_t'] * np.ones(mp['T2_t']))
+            + list(mp['N4_t'] * np.ones(mp['T3_t'])))
+    return list(map(int, n))[:Tmax], temp[:Tmax], Tmax
+
+
+def test_schedules_match_reference_formula():
+    n, temp, Tmax = make_schedules(DEFAULT_MP_CONFIG, N=512, steps=0)
+    n_ref, temp_ref, Tmax_ref = reference_schedules(DEFAULT_MP_CONFIG, 512)
+    assert Tmax == Tmax_ref == 20
+    assert list(n) == n_ref
+    np.testing.assert_allclose(temp, temp_ref)
+
+    n2, _, T2 = make_schedules(DEFAULT_MP_CONFIG, N=512, steps=30)
+    assert T2 == 30 and len(n2) == 30
+
+
+def test_gumbel_topk_matches_weighted_sampling_without_replacement():
+    """Inclusion frequencies of top-k(log w + G) must match sequential
+    weighted sampling w/o replacement (what torch.multinomial does)."""
+    w = np.array([0.6, 0.25, 0.1, 0.05])
+    k = 2
+    # exact inclusion probabilities by enumeration of ordered draws
+    incl = np.zeros(4)
+    for i in range(4):
+        for j in range(4):
+            if i == j:
+                continue
+            p = w[i] * (w[j] / (1 - w[i]))
+            incl[i] += p
+            incl[j] += p
+
+    n_trials = 20000
+    key = jax.random.PRNGKey(0)
+    g = -jnp.log(-jnp.log(
+        jax.random.uniform(key, (n_trials, 4), minval=1e-12, maxval=1.0)))
+    scores = jnp.log(jnp.asarray(w))[None] + g
+    order = jnp.argsort(-scores, axis=-1)
+    chosen = np.asarray(order[:, :k])
+    emp = np.bincount(chosen.reshape(-1), minlength=4) / n_trials
+    np.testing.assert_allclose(emp, incl, atol=0.02)
+
+
+def test_preserve_layouts():
+    cfg = TINY_CFG  # 2 frames x 64 tokens
+    m, N = preserve_layout(cfg, 'long', t_overlap=1, has_preserve=True)
+    assert m[:64].all() and not m[64:].any() and N == 64
+    m, N = preserve_layout(cfg, 'long', t_overlap=1, has_preserve=False)
+    assert not m.any() and N == 128
+    m, N = preserve_layout(cfg, 'interp', t_overlap=0, has_preserve=True)
+    assert m[:64].all() and not m[64:].any() and N == 64
+
+    prev = jnp.arange(2 * 128, dtype=jnp.int32).reshape(2, 128) % 1024
+    placed = arrange_preserve_tokens(cfg, prev, 'long', 1)
+    np.testing.assert_array_equal(np.asarray(placed[:, :64]),
+                                  np.asarray(prev[:, -64:]))
+    assert (np.asarray(placed[:, 64:]) == cfg.mask_token).all()
+
+
+@pytest.fixture(scope='module')
+def tiny_core():
+    core = BertCore(TINY_CFG)
+    text = jnp.zeros((1, 6), jnp.int32)
+    target = jnp.zeros((1, 128), jnp.int32)
+    params = core.init(jax.random.PRNGKey(0), text, None, target)['params']
+    return core, params
+
+
+def _control(core, params, batch=2):
+    text = jnp.ones((batch, 6), jnp.int32)
+    return core.apply({'params': params}, text, None,
+                      method=BertCore.control_embedding)
+
+
+def test_mask_predict_shapes_and_range(tiny_core):
+    core, params = tiny_core
+    control = _control(core, params)
+    pmask, N = preserve_layout(core.cfg, 'long', 1, False)
+    spec = build_spec(DEFAULT_MP_CONFIG, N, steps=4, dynamic=False)
+    toks = mask_predict(core, params, control, jax.random.PRNGKey(1), spec,
+                        pmask)
+    toks = np.asarray(toks)
+    assert toks.shape == (2, 128)
+    assert toks.min() >= 0 and toks.max() < 1024  # never [MASK]/[SEP]
+
+
+def test_mask_predict_preserve_semantics(tiny_core):
+    core, params = tiny_core
+    control = _control(core, params)
+    prev = jnp.asarray(
+        np.random.RandomState(0).randint(0, 1024, (2, 128)), jnp.int32)
+    pmask, N = preserve_layout(core.cfg, 'long', 1, True)
+    ptoks = arrange_preserve_tokens(core.cfg, prev, 'long', 1)
+    spec = build_spec(DEFAULT_MP_CONFIG, N, steps=4, dynamic=False)
+    toks = np.asarray(mask_predict(core, params, control,
+                                   jax.random.PRNGKey(2), spec, pmask,
+                                   ptoks))
+    # preserved slots (first frame) must be exactly the previous chunk's
+    # last frame tokens
+    np.testing.assert_array_equal(toks[:, :64], np.asarray(prev[:, -64:]))
+    assert toks[:, 64:].max() < 1024
+
+
+def test_mask_predict_dynamic_terminates(tiny_core):
+    core, params = tiny_core
+    control = _control(core, params, batch=1)
+    pmask, N = preserve_layout(core.cfg, 'long', 1, False)
+    spec = build_spec(DEFAULT_MP_CONFIG, N, steps=12, dynamic=True)
+    toks = np.asarray(mask_predict(core, params, control,
+                                   jax.random.PRNGKey(3), spec, pmask))
+    assert toks.shape == (1, 128) and toks.max() < 1024
+
+
+def test_generate_images_end_to_end():
+    vq_cfg = VQGanConfig(resolution=16, ch=32, ch_mult=(1, 2),
+                         num_res_blocks=1, z_channels=64, embed_dim=64,
+                         n_embed=1024, attn_resolutions=())
+    vae = VQGanVAE(image_size=16, cfg=vq_cfg)
+    model = MMVIDBert(TINY_CFG, vae)
+
+    text = jnp.ones((2, 6), jnp.int32)
+    videos, seq = model.generate_images(
+        jax.random.PRNGKey(0), text, mask_predict_steps=3, dynamic=False)
+    assert seq.shape == (2, 128)
+    assert videos.shape == (2, 2, 16, 16, 3)
+    assert float(videos.min()) >= 0.0 and float(videos.max()) <= 1.0
+
+
+def test_generate_images_long_chunking():
+    """Sliding-window extrapolation: second chunk preserves first chunk's
+    last frame tokens (utils_train.py:1337-1373 semantics)."""
+    vq_cfg = VQGanConfig(resolution=16, ch=32, ch_mult=(1, 2),
+                         num_res_blocks=1, z_channels=64, embed_dim=64,
+                         n_embed=1024, attn_resolutions=())
+    vae = VQGanVAE(image_size=16, cfg=vq_cfg)
+    model = MMVIDBert(TINY_CFG, vae)
+    text = jnp.ones((1, 6), jnp.int32)
+
+    _, seq1 = model.generate_images(jax.random.PRNGKey(1), text,
+                                    mask_predict_steps=2, dynamic=False,
+                                    decode=False)
+    _, seq2 = model.generate_images(jax.random.PRNGKey(2), text,
+                                    mask_predict_steps=2, dynamic=False,
+                                    preserve=seq1, t_overlap=1,
+                                    long_mode='long', decode=False)
+    np.testing.assert_array_equal(np.asarray(seq2[:, :64]),
+                                  np.asarray(seq1[:, -64:]))
