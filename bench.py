@@ -1,0 +1,71 @@
+"""Benchmark: flagship text-to-video sampling throughput (frames/sec/chip).
+
+Measures the BASELINE.json headline — 8-frame 128x128 video sampling with the
+full-size model (ViT-B/32-visual-width 768x12L backbone over the 565-token
+sequence, 20 mask-predict steps, VQGAN decode) — on the available device.
+
+Baseline: the reference samples ONE item at a time (dalle_bert.py:618) with
+20 sequential full-sequence forwards + per-frame VQGAN decodes; measured
+reference throughput on A100 is not published (BASELINE.md), so
+``vs_baseline`` is reported against a 30 frames/sec/GPU engineering estimate
+for the unbatched reference sampler on A100 (documented here; refined when a
+measured baseline lands).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+BASELINE_FRAMES_PER_SEC = 30.0  # estimated reference A100 sampler (see above)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    steps = 20
+
+    model, vae = _flagship(tiny=False)
+    cfg = model.cfg
+
+    text = jnp.ones((batch, cfg.text_seq_len), jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    def sample(k):
+        videos, seq = model.generate_images(
+            k, text, mask_predict_steps=steps, dynamic=False)
+        return videos
+
+    # warmup/compile
+    videos = sample(key)
+    videos.block_until_ready()
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        videos = sample(jax.random.fold_in(key, i))
+    videos.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+
+    frames = batch * cfg.num_targets
+    fps = frames / dt
+    n_chips = max(len(jax.devices()), 1)
+    fps_chip = fps / n_chips
+
+    print(json.dumps({
+        'metric': 'sampling_throughput_8x128x128',
+        'value': round(fps_chip, 2),
+        'unit': 'frames/sec/chip',
+        'vs_baseline': round(fps_chip / BASELINE_FRAMES_PER_SEC, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

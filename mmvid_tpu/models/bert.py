@@ -309,7 +309,7 @@ def cross_entropy_masked(logits, labels, keep_gt_mask):
     (dalle_bert.py:1040: loss over ~mask1)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
-    w = (~keep_gt_mask).astype(jnp.float32)
+    w = (~keep_gt_mask.astype(bool)).astype(jnp.float32)
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 

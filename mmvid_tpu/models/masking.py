@@ -81,9 +81,11 @@ def sample_msm_mask(key, cfg: BertConfig, msm_strategy_prob,
         m3 = ~box
         m4 = box
 
+        # NB: jnp.select promotes bool choices to int32; force bool — the
+        # loss weights use `~keep`, which is bitwise NOT on ints.
         keep = jnp.select(
             [strategy == 0, strategy == 1, strategy == 2, strategy == 3],
-            [m1, m2, m3, m4])
+            [m1, m2, m3, m4]).astype(bool)
         nfm = jnp.where(strategy == 1, 0.0, 1.0)
 
         # preservation control: force-keep t_overlap random whole frames

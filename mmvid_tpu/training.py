@@ -1,0 +1,196 @@
+"""SPMD training step: optimizer, LR schedules, grad clipping, and the
+pjit-compiled MSM/REL/VID step.
+
+Parity targets:
+* loss combine ``beta_msm*MSM + beta_rel*REL + beta_vid*VID`` + grad-clip 1.0
+  + Adam/AdamW(0.9, 0.95) (reference train.py:298-325,
+  utils/utils_train.py:167-182)
+* LR schedules warmuplr / warmupdecaylr / steplr / cosineannealinglr /
+  reducelronplateau (utils/utils_train.py:314-388; the DeepSpeed WarmupLR
+  default warms up over 5000 steps then holds)
+
+TPU-native design: the reference runs one process per GPU with DDP allreduce
+(train.py:28-97).  Here the step is ONE jitted SPMD program over the
+(dp, tp) mesh — the batch is dp-sharded, params replicated (tp-sharded where
+rules apply), and XLA inserts the gradient all-reduce over ICI.  The whole
+3-forward loss (incl. frozen-VQGAN tokenization of targets and warped VID
+negatives) compiles into the step: no host round-trips per iteration
+(the reference re-encodes warped videos on host RNG every step,
+dalle_bert.py:1090-1125).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from mmvid_tpu.models.mmvid import MMVIDBert
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-4
+    optimizer: str = 'adam'           # adam | adamw
+    lr_scheduler: str = 'warmuplr'    # warmuplr | warmupdecaylr | steplr |
+    #                                   cosineannealinglr | none
+    lr_scheduler_warmup: int = 5000
+    lr_scheduler_step_size: int = 10000
+    total_steps: int = 200000
+    weight_decay: float = 0.0
+    clip_grad_norm: float = 1.0
+    beta_msm: float = 7.0
+    beta_rel: float = 0.5
+    beta_vid: float = 0.5
+    msm_strategy_prob: Tuple[float, ...] = (0.7, 0.1, 0.1, 0.1)
+    msm_bernoulli_prob: Tuple[float, float] = (0.2, 0.2)
+    vid_strategy_prob: Tuple[float, ...] = (0.25, 0.25, 0.25, 0.25)
+    pc_prob: float = 0.0
+    rel_no_fully_masked: bool = False
+    negvc: bool = False
+    rand_visual: bool = False
+    fullvc: bool = False
+    vc_mode: Optional[str] = None
+    visual_aug_mode: Optional[str] = None
+    dropout_vc: float = 0.1
+
+    @property
+    def rel(self) -> bool:
+        return self.beta_rel > 0
+
+    @property
+    def vid(self) -> bool:
+        return self.beta_vid > 0
+
+
+def make_lr_schedule(tc: TrainConfig):
+    base = tc.learning_rate
+    warm = max(tc.lr_scheduler_warmup, 1)
+    if tc.lr_scheduler == 'warmuplr':
+        # DeepSpeed WarmupLR: 0 -> lr over warmup, then constant
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, base, warm),
+             optax.constant_schedule(base)], [warm])
+    if tc.lr_scheduler == 'warmupdecaylr':
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, base, warm),
+             optax.linear_schedule(base, 0.0,
+                                   max(tc.total_steps - warm, 1))], [warm])
+    if tc.lr_scheduler == 'steplr':
+        # gamma=0.5 matching reference StepLR usage
+        return optax.exponential_decay(base, tc.lr_scheduler_step_size, 0.5,
+                                       staircase=True)
+    if tc.lr_scheduler == 'cosineannealinglr':
+        return optax.cosine_decay_schedule(base, tc.lr_scheduler_step_size)
+    return optax.constant_schedule(base)
+
+
+def make_optimizer(tc: TrainConfig):
+    sched = make_lr_schedule(tc)
+    if tc.optimizer == 'adamw':
+        opt = optax.adamw(sched, b1=0.9, b2=0.95,
+                          weight_decay=tc.weight_decay)
+    else:
+        opt = optax.adam(sched)
+    return optax.chain(optax.clip_by_global_norm(tc.clip_grad_norm), opt)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params))
+
+
+def create_train_state(model: MMVIDBert, tc: TrainConfig) -> TrainState:
+    # Copy params: the jitted step donates its TrainState, and donation
+    # would otherwise invalidate model.params (still needed for generation
+    # during training).
+    params = jax.tree_util.tree_map(jnp.array, model.params)
+    return TrainState.create(params, make_optimizer(tc))
+
+
+def make_train_step(model: MMVIDBert, tc: TrainConfig):
+    """Build the pure train step: (state, batch, key) -> (state, metrics).
+
+    batch: {'text': [B, L] int (or [B, Df] features), 'target':
+    [B,T,H,W,3] in [0,1] (or [B, N] tokens), optional 'visual',
+    'text_neg', 'visual_neg'}.
+    """
+    tx = make_optimizer(tc)
+
+    def loss_fn(params, batch, key):
+        k_vc, key = jax.random.split(key)
+        visual = batch.get('visual')
+        if visual is not None and tc.dropout_vc > 0:
+            # zero the visual control with prob dropout_vc per sample
+            # (reference loader-level dropout_vc)
+            drop = jax.random.bernoulli(k_vc, tc.dropout_vc,
+                                        (visual.shape[0],))
+            expand = (slice(None),) + (None,) * (visual.ndim - 1)
+            visual = jnp.where(drop[expand], jnp.zeros_like(visual), visual)
+        msm, rel, vid = model.loss(
+            params, key, text=batch['text'], visual=visual,
+            target=batch['target'], rel=tc.rel, vid=tc.vid,
+            msm_strategy_prob=tc.msm_strategy_prob,
+            msm_bernoulli_prob=tc.msm_bernoulli_prob,
+            rel_no_fully_masked=tc.rel_no_fully_masked,
+            vid_strategy_prob=tc.vid_strategy_prob, pc_prob=tc.pc_prob,
+            erase_visual=tc.rand_visual and not tc.fullvc,
+            vc_mode=tc.vc_mode, visual_aug_mode=tc.visual_aug_mode,
+            negvc=tc.negvc, visual_neg=batch.get('visual_neg'),
+            text_neg=batch.get('text_neg'))
+        total = tc.beta_msm * msm + tc.beta_rel * rel + tc.beta_vid * vid
+        return total, {'loss': total, 'loss_msm': msm, 'loss_rel': rel,
+                       'loss_vid': vid}
+
+    def train_step(state: TrainState, batch, key):
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics['grad_norm'] = optax.global_norm(grads)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), metrics
+
+    return train_step
+
+
+def jit_train_step(model: MMVIDBert, tc: TrainConfig, mesh=None,
+                   donate: bool = True):
+    """jit the step; with a mesh, pin state/batch shardings so XLA lays the
+    gradient all-reduce over the dp axis and tp collectives inside layers."""
+    step = make_train_step(model, tc)
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    from mmvid_tpu.parallel.mesh import batch_sharding, param_shardings
+
+    def shard_state(state: TrainState) -> TrainState:
+        ps = param_shardings(state.params, mesh)
+        os_ = param_shardings(state.opt_state, mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return TrainState(
+            step=jax.device_put(state.step, NamedSharding(mesh, P())),
+            params=jax.device_put(state.params, ps),
+            opt_state=jax.device_put(state.opt_state, os_))
+
+    jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def run(state, batch, key):
+        bs = batch_sharding(mesh)
+        batch = {k: jax.device_put(v, bs) for k, v in batch.items()
+                 if v is not None}
+        return jitted(state, batch, key)
+
+    run.shard_state = shard_state
+    return run

@@ -1,0 +1,83 @@
+"""Checkpoint save/load.
+
+Native format: orbax-checkpoint directories ``<log_dir>/weights/<iter>/``
+mirroring the reference's layout (``weights/<iter>/dalle.pt`` + ``weights/
+last``, reference utils/utils_train.py:297-305, train.py:341-354).  The
+stored tree is ``{step, params, opt_state?, hparams}``; test-time discovery
+picks the numerically-latest iter like the reference's natsort
+(test.py:51-57).
+
+Torch-format reading lives in mmvid_tpu.utils.torch_compat.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _ckpt_dir(log_dir: str, tag) -> str:
+    return os.path.join(log_dir, 'weights', str(tag))
+
+
+def save_checkpoint(log_dir: str, step: int, tree: Dict[str, Any],
+                    hparams: Optional[Dict] = None, keep_last: bool = True):
+    """Write weights/<step>/ and refresh weights/last/."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    path = os.path.abspath(_ckpt_dir(log_dir, step))
+    ckptr.save(path, tree, force=True)
+    if hparams is not None:
+        with open(os.path.join(path, 'hparams.json'), 'w') as f:
+            json.dump(_jsonable(hparams), f, indent=2, default=str)
+    if keep_last:
+        last = os.path.abspath(_ckpt_dir(log_dir, 'last'))
+        ckptr.save(last, tree, force=True)
+        if hparams is not None:
+            with open(os.path.join(last, 'hparams.json'), 'w') as f:
+                json.dump(_jsonable(hparams), f, indent=2, default=str)
+    return path
+
+
+def latest_checkpoint(log_dir: str) -> Optional[str]:
+    """Numerically-latest weights/<iter>/ (reference natsort, test.py:51-57)."""
+    root = os.path.join(log_dir, 'weights')
+    if not os.path.isdir(root):
+        return None
+    iters = [d for d in os.listdir(root) if re.fullmatch(r'\d+', d)]
+    if iters:
+        return _ckpt_dir(log_dir, max(iters, key=int))
+    if os.path.isdir(_ckpt_dir(log_dir, 'last')):
+        return _ckpt_dir(log_dir, 'last')
+    return None
+
+
+def load_checkpoint(path: str, target=None):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.restore(os.path.abspath(path), item=target)
+    hfile = os.path.join(path, 'hparams.json')
+    hparams = None
+    if os.path.exists(hfile):
+        with open(hfile) as f:
+            hparams = json.load(f)
+    return tree, hparams
+
+
+def _jsonable(obj):
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, (np.integer,)):
+        return int(obj)
+    if isinstance(obj, (np.floating,)):
+        return float(obj)
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    return obj

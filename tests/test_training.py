@@ -1,0 +1,121 @@
+"""Training step, multi-chip dry run, and checkpointing."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mmvid_tpu.models.bert import BertConfig
+from mmvid_tpu.models.clip import ClipStackConfig
+from mmvid_tpu.models.mmvid import MMVIDBert
+from mmvid_tpu.models.vqgan import VQGanConfig, VQGanVAE
+from mmvid_tpu.training import (
+    TrainConfig,
+    create_train_state,
+    jit_train_step,
+    make_train_step,
+)
+
+
+@pytest.fixture(scope='module')
+def tiny_model():
+    vq_cfg = VQGanConfig(resolution=16, ch=32, ch_mult=(1, 2),
+                         num_res_blocks=1, z_channels=64, embed_dim=64,
+                         n_embed=1024, attn_resolutions=())
+    vae = VQGanVAE(image_size=16, cfg=vq_cfg)
+    cfg = BertConfig(dim=64, num_text_tokens=100, text_seq_len=8,
+                     num_visuals=0, num_targets=2, num_image_tokens=1024,
+                     image_fmap_size=8, image_size=16,
+                     clip=ClipStackConfig(width=64, layers=2, heads=2))
+    return MMVIDBert(cfg, vae)
+
+
+def _batch(b=2):
+    rng = np.random.RandomState(0)
+    return {
+        'text': jnp.asarray(rng.randint(1, 100, (b, 8)), jnp.int32),
+        'target': jnp.asarray(rng.uniform(0, 1, (b, 2, 16, 16, 3)),
+                              jnp.float32),
+    }
+
+
+def test_full_loss_with_vid_warp(tiny_model):
+    """The full 3-loss path incl. pixel-space warp + in-step VQGAN encode."""
+    tc = TrainConfig(beta_rel=0.5, beta_vid=0.5, lr_scheduler_warmup=2,
+                     dropout_vc=0.0)
+    msm, rel, vid = tiny_model.loss(
+        tiny_model.params, jax.random.PRNGKey(0), text=_batch()['text'],
+        target=_batch()['target'], rel=True, vid=True,
+        msm_strategy_prob=tc.msm_strategy_prob)
+    for name, val in [('msm', msm), ('rel', rel), ('vid', vid)]:
+        assert np.isfinite(float(val)), f'{name} not finite'
+        # CE/BCE losses are nonnegative by construction; random-init model
+        # over 1024 classes lands near log(1024)~6.9 for MSM, log(2)~0.7*2
+        # for the BCE pairs
+        assert 0.0 <= float(val) < 30.0, f'{name} out of range: {float(val)}'
+    assert float(vid) > 0.0  # VID branch actually ran
+
+
+def test_train_step_improves_loss(tiny_model):
+    tc = TrainConfig(learning_rate=3e-3, beta_msm=1.0, beta_rel=0.0,
+                     beta_vid=0.0, lr_scheduler='none', dropout_vc=0.0,
+                     msm_strategy_prob=(1.0, 0.0, 0.0, 0.0),
+                     msm_bernoulli_prob=(0.3, 0.3))
+    step = jax.jit(make_train_step(tiny_model, tc))
+    state = create_train_state(tiny_model, tc)
+    batch = _batch()
+    first = None
+    for i in range(12):
+        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
+        if first is None:
+            first = float(metrics['loss_msm'])
+    last = float(metrics['loss_msm'])
+    assert last < first, f'MSM loss did not improve: {first} -> {last}'
+    assert int(state.step) == 12
+
+
+def test_lr_schedules():
+    from mmvid_tpu.training import make_lr_schedule
+    tc = TrainConfig(learning_rate=1e-4, lr_scheduler='warmuplr',
+                     lr_scheduler_warmup=100)
+    s = make_lr_schedule(tc)
+    assert float(s(0)) == 0.0
+    np.testing.assert_allclose(float(s(100)), 1e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(s(10000)), 1e-4, rtol=1e-5)
+
+    tc2 = TrainConfig(lr_scheduler='warmupdecaylr', lr_scheduler_warmup=10,
+                      total_steps=110)
+    s2 = make_lr_schedule(tc2)
+    np.testing.assert_allclose(float(s2(10)), 1e-4, rtol=1e-5)
+    assert float(s2(110)) < 1e-6
+
+
+def test_dryrun_multichip_8():
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from __graft_entry__ import dryrun_multichip
+    assert len(jax.devices()) >= 8
+    dryrun_multichip(8)
+
+
+def test_checkpoint_roundtrip(tiny_model, tmp_path):
+    from mmvid_tpu.utils.checkpoint import (
+        latest_checkpoint,
+        load_checkpoint,
+        save_checkpoint,
+    )
+    log_dir = str(tmp_path / 'run')
+    tree = {'step': 7, 'params': tiny_model.params}
+    save_checkpoint(log_dir, 7, tree, hparams={'dim': 64})
+    save_checkpoint(log_dir, 12, tree, hparams={'dim': 64})
+    path = latest_checkpoint(log_dir)
+    assert path.endswith('12')
+    loaded, hparams = load_checkpoint(path)
+    assert hparams == {'dim': 64}
+    a = jax.tree_util.tree_leaves(tiny_model.params)[0]
+    b = jax.tree_util.tree_leaves(loaded['params'])[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
