@@ -1,0 +1,382 @@
+"""ART-V: the autoregressive baseline model, with a KV-cached sampler.
+
+Parity target: mmvid_pytorch/dalle_artv.py:103-542 (class DALLE).
+
+Sequence: <bos>+text (text_seq_len+1) | visual (num_visuals*n) | target
+(num_targets*n), causal transformer, disjoint vocab ranges
+  [0, num_text_tokens) text (incl. per-position padding ids)
+  [num_text_tokens, +num_visual_tokens) visual (incl. per-position pads)
+  [num_control_tokens, +num_image_tokens) image
+with a block-diagonal logits mask so each segment predicts its own range
+(dalle_artv.py:216-227), CE loss weighted (1, loss_vis=1, loss_img=7)/9
+(dalle_artv.py:526-539).
+
+TPU-first: the reference samples 512 tokens with a FULL O(L^2) forward per
+token and re-tokenizes the visual control every step (dalle_artv.py:258-281,
+SURVEY.md §3.3).  Here generation is one `lax.scan` over positions with a
+KV cache: the control prefix is encoded once, each step is O(L) attention
+against the cache, and only image-range logits are materialized.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmvid_tpu.models.axial import (
+    AxialPositionalEmbedding,
+    AxialPositionalEmbeddingList,
+)
+from mmvid_tpu.models.clip import (
+    ClipStackConfig,
+    TransformerStack,
+    build_attention_mask,
+)
+
+_EMB_INIT = nn.initializers.normal(1.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class ArtvConfig:
+    dim: int = 768
+    num_text_tokens: int = 10000      # raw; padding ids appended
+    text_seq_len: int = 50
+    num_visuals: int = 1
+    num_targets: int = 8
+    num_image_tokens: int = 1024
+    image_fmap_size: int = 8
+    image_size: int = 128
+    loss_img_weight: float = 7.0
+    loss_vis_weight: float = 1.0
+    stable: bool = False
+    clip: ClipStackConfig = ClipStackConfig()
+
+    @property
+    def image_seq_len(self) -> int:
+        return self.image_fmap_size ** 2
+
+    @property
+    def visual_seq_len(self) -> int:
+        return self.num_visuals * self.image_seq_len
+
+    @property
+    def target_seq_len(self) -> int:
+        return self.num_targets * self.image_seq_len
+
+    @property
+    def effective_num_text_tokens(self) -> int:
+        return self.num_text_tokens + self.text_seq_len
+
+    @property
+    def num_visual_tokens(self) -> int:
+        return self.num_image_tokens + self.visual_seq_len
+
+    @property
+    def num_control_tokens(self) -> int:
+        return self.effective_num_text_tokens + self.num_visual_tokens
+
+    @property
+    def total_tokens(self) -> int:
+        return self.num_control_tokens + self.num_image_tokens
+
+    @property
+    def control_seq_len(self) -> int:
+        return self.text_seq_len + self.visual_seq_len
+
+    @property
+    def total_seq_len(self) -> int:
+        # <bos>+text contributes text_seq_len+1 embeddings, but the last
+        # target token is dropped at train time (dalle_artv.py:494-498), so
+        # the transformer always sees exactly this many positions:
+        return self.text_seq_len + self.visual_seq_len + self.target_seq_len
+
+
+class ArtvCore(nn.Module):
+    """Parameters + full-sequence training forward."""
+    cfg: ArtvConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        self.text_emb = nn.Embed(cfg.effective_num_text_tokens, cfg.dim,
+                                 embedding_init=_EMB_INIT)
+        self.image_emb = nn.Embed(cfg.num_image_tokens, cfg.dim,
+                                  embedding_init=_EMB_INIT)
+        self.text_pos_emb = nn.Embed(cfg.text_seq_len + 1, cfg.dim,
+                                     embedding_init=_EMB_INIT)  # +1 <bos>
+        if cfg.num_targets == 1:
+            self.image_pos_emb = AxialPositionalEmbedding(
+                cfg.dim, (cfg.image_fmap_size, cfg.image_fmap_size))
+        else:
+            self.image_pos_emb = AxialPositionalEmbedding(
+                cfg.dim, (cfg.num_targets, cfg.image_fmap_size,
+                          cfg.image_fmap_size))
+        if cfg.num_visuals > 0:
+            self.visual_emb = nn.Embed(cfg.num_visual_tokens, cfg.dim,
+                                       embedding_init=_EMB_INIT)
+            self.visual_pos_emb = AxialPositionalEmbeddingList(
+                cfg.dim, cfg.num_visuals,
+                (cfg.image_fmap_size, cfg.image_fmap_size))
+        self.special_emb = nn.Embed(4, cfg.dim, embedding_init=_EMB_INIT)
+        self.estimation_pos_emb = nn.Embed(2, cfg.dim,
+                                           embedding_init=_EMB_INIT)
+        self.transformer = TransformerStack(cfg.clip, dtype=self.dtype)
+        self.to_logits_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
+        self.to_logits_fc = nn.Dense(cfg.total_tokens, dtype=self.dtype)
+
+    # -- embedding assembly ------------------------------------------------
+    def control_tokens_embedding(self, text, visual_tokens):
+        """<bos>+text+visual embeddings [B, 1+text+visual, D].
+
+        text [B, text_seq_len] raw ids (0 = padding); visual_tokens
+        [B, visual_seq_len] image-codebook ids or -1 for absent
+        (dalle_artv.py:437-477).
+        """
+        cfg = self.cfg
+        b = text.shape[0]
+        text_range = (jnp.arange(cfg.text_seq_len)
+                      + (cfg.effective_num_text_tokens - cfg.text_seq_len))
+        text = jnp.where(text == 0, text_range[None], text)
+        text = jnp.concatenate(
+            [jnp.zeros((b, 1), text.dtype), text], axis=1)  # <bos>=0
+        t_emb = self.text_emb(text) + self.text_pos_emb(
+            jnp.arange(cfg.text_seq_len + 1))[None]
+        parts = [t_emb]
+        if cfg.num_visuals > 0:
+            if visual_tokens is None:
+                visual_tokens = jnp.full((b, cfg.visual_seq_len), -1,
+                                         jnp.int32)
+            visual_range = (jnp.arange(cfg.visual_seq_len)
+                            + (cfg.num_visual_tokens - cfg.visual_seq_len))
+            visual_tokens = jnp.where(visual_tokens == -1,
+                                      visual_range[None], visual_tokens)
+            v_emb = self.visual_emb(visual_tokens)
+            v_emb = v_emb + self.visual_pos_emb(v_emb)
+            parts.append(v_emb)
+        return jnp.concatenate([p.astype(jnp.float32) for p in parts],
+                               axis=1)
+
+    def target_embedding(self, image_tokens):
+        emb = self.image_emb(image_tokens)
+        full = self.image_pos_emb(
+            jnp.zeros((emb.shape[0], self.cfg.target_seq_len, self.cfg.dim)))
+        return emb + full[:, :emb.shape[1]]
+
+    def to_logits(self, h):
+        return self.to_logits_fc(
+            self.to_logits_ln(h).astype(self.dtype)).astype(jnp.float32)
+
+    def __call__(self, text, visual_tokens, image_tokens):
+        """Training forward -> logits [B, total_seq_len, total_tokens]
+        (causal; last target position dropped, dalle_artv.py:494-500)."""
+        cfg = self.cfg
+        ctrl = self.control_tokens_embedding(text, visual_tokens)
+        tgt = self.target_embedding(image_tokens)
+        tokens = jnp.concatenate([ctrl, tgt], axis=1)[:, :-1]
+        mask = build_attention_mask(cfg.total_seq_len, 'causal')
+        out = self.transformer(tokens, mask)
+        if cfg.stable:
+            out = out / jnp.max(out, axis=-1, keepdims=True)
+        return self.to_logits(out)
+
+
+def logits_block_mask(cfg: ArtvConfig) -> np.ndarray:
+    """[total_seq_len, total_tokens] bool, True = FORBIDDEN
+    (dalle_artv.py:216-227)."""
+    m = np.ones((cfg.total_seq_len, cfg.total_tokens), bool)
+    t, v = cfg.text_seq_len, cfg.visual_seq_len
+    m[:t, :cfg.effective_num_text_tokens] = False
+    m[t:t + v, cfg.effective_num_text_tokens:cfg.num_control_tokens] = False
+    m[t + v:, cfg.num_control_tokens:] = False
+    return m
+
+
+def artv_loss(core: ArtvCore, params, text, visual_tokens, image_tokens):
+    """(loss, 0, 0) — weighted segment CE (dalle_artv.py:503-542)."""
+    cfg = core.cfg
+    logits = core.apply({'params': params}, text, visual_tokens,
+                        image_tokens)
+    mask = jnp.asarray(logits_block_mask(cfg))
+    logits = jnp.where(mask[None], -jnp.inf, logits)
+
+    # labels: text (without bos) | visual + text offset | image + ctrl offset
+    text_range = (jnp.arange(cfg.text_seq_len)
+                  + (cfg.effective_num_text_tokens - cfg.text_seq_len))
+    text_ids = jnp.where(text == 0, text_range[None], text)
+    labels = [text_ids]
+    if cfg.num_visuals > 0:
+        visual_range = (jnp.arange(cfg.visual_seq_len)
+                        + (cfg.num_visual_tokens - cfg.visual_seq_len))
+        vis_ids = jnp.where(visual_tokens == -1, visual_range[None],
+                            visual_tokens)
+        labels.append(vis_ids + cfg.effective_num_text_tokens)
+    labels.append(image_tokens + cfg.num_control_tokens)
+    labels = jnp.concatenate(labels, axis=1)
+
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+
+    t, c = cfg.text_seq_len, cfg.control_seq_len
+    loss_text = jnp.mean(nll[:, :t])
+    loss_vis = jnp.mean(nll[:, t:c]) if cfg.num_visuals > 0 else 0.0
+    loss_img = jnp.mean(nll[:, c:])
+    denom = cfg.loss_img_weight + cfg.loss_vis_weight + 1.0
+    loss = (loss_text + cfg.loss_vis_weight * loss_vis
+            + cfg.loss_img_weight * loss_img) / denom
+    return loss, jnp.float32(0.0), jnp.float32(0.0)
+
+
+# ---------------------------------------------------------------------------
+# KV-cached autoregressive sampling
+# ---------------------------------------------------------------------------
+
+def _block_params(params, i):
+    return params['transformer'][f'blocks_{i}']
+
+
+def _ln(p, x):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p['scale'] + p['bias']
+
+
+def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
+              filter_thres: float = 0.5, temperature: float = 1.0):
+    """KV-cached sampling of all target tokens.
+
+    1. Encode the control prefix (<bos>+text+visual) once through the stack,
+       caching every layer's K/V.
+    2. `lax.scan` over target positions: one-token forward against the cache.
+    Returns image tokens [B, target_seq_len] in [0, num_image_tokens).
+    """
+    cfg = core.cfg
+    clip_cfg = cfg.clip
+    heads, hd = clip_cfg.heads, clip_cfg.width // clip_cfg.heads
+    n_layers = clip_cfg.layers
+    b = text.shape[0]
+    L = cfg.total_seq_len  # max positions seen by the transformer
+    ctrl_len = cfg.control_seq_len + 1  # +bos
+
+    ctrl_emb = core.apply({'params': params}, text, visual_tokens,
+                          method=ArtvCore.control_tokens_embedding)
+    pos_emb_full = core.apply(
+        {'params': params},
+        jnp.zeros((b, cfg.target_seq_len, cfg.dim)),
+        method=lambda m, x: m.image_pos_emb(x))
+    image_emb_table = params['image_emb']['embedding']
+
+    def block_step(p, x, cache_k, cache_v, pos):
+        """One-token pass through a block with cache update.
+        x [B, D]; cache_[kv] [B, L, heads, hd]; pos scalar."""
+        h = _ln(p['ln_1'], x)
+        q = h @ p['attn']['query']['kernel'] + p['attn']['query']['bias']
+        k = h @ p['attn']['key']['kernel'] + p['attn']['key']['bias']
+        v = h @ p['attn']['value']['kernel'] + p['attn']['value']['bias']
+        q = q.reshape(b, heads, hd)
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k.reshape(b, 1, heads, hd), (0, pos, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v.reshape(b, 1, heads, hd), (0, pos, 0, 0))
+        logits = jnp.einsum('bhd,blhd->bhl', q, cache_k) * (hd ** -0.5)
+        valid = jnp.arange(L)[None, None, :] <= pos
+        logits = jnp.where(valid, logits, -1e9)
+        attn = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum('bhl,blhd->bhd', attn, cache_v).reshape(b, -1)
+        o = o @ p['attn']['out']['kernel'] + p['attn']['out']['bias']
+        x = x + o
+        h = _ln(p['ln_2'], x)
+        h = h @ p['mlp']['fc']['kernel'] + p['mlp']['fc']['bias']
+        h = h * jax.nn.sigmoid(1.702 * h)
+        h = h @ p['mlp']['proj']['kernel'] + p['mlp']['proj']['bias']
+        return x + h, cache_k, cache_v
+
+    # ---- prefill: run the control prefix through all blocks, keep K/V ----
+    def prefill_block(p, x):
+        lp = x.shape[1]
+        h = _ln(p['ln_1'], x)
+        q = h @ p['attn']['query']['kernel'] + p['attn']['query']['bias']
+        k = h @ p['attn']['key']['kernel'] + p['attn']['key']['bias']
+        v = h @ p['attn']['value']['kernel'] + p['attn']['value']['bias']
+        q = q.reshape(b, lp, heads, hd)
+        k = k.reshape(b, lp, heads, hd)
+        v = v.reshape(b, lp, heads, hd)
+        logits = jnp.einsum('bqhd,bkhd->bhqk', q, k) * (hd ** -0.5)
+        causal = jnp.tril(jnp.ones((lp, lp), bool))
+        logits = jnp.where(causal[None, None], logits, -1e9)
+        attn = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum('bhqk,bkhd->bqhd', attn, v).reshape(b, lp, -1)
+        o = o @ p['attn']['out']['kernel'] + p['attn']['out']['bias']
+        x = x + o
+        h = _ln(p['ln_2'], x)
+        h = h @ p['mlp']['fc']['kernel'] + p['mlp']['fc']['bias']
+        h = h * jax.nn.sigmoid(1.702 * h)
+        h = h @ p['mlp']['proj']['kernel'] + p['mlp']['proj']['bias']
+        return x + h, k, v
+
+    cache_k = jnp.zeros((n_layers, b, L, heads, hd))
+    cache_v = jnp.zeros((n_layers, b, L, heads, hd))
+    x = ctrl_emb
+    last_hidden = None
+    for i in range(n_layers):
+        x, k, v = prefill_block(_block_params(params, i), x)
+        cache_k = cache_k.at[i, :, :ctrl_len].set(k)
+        cache_v = cache_v.at[i, :, :ctrl_len].set(v)
+    prefix_last = x[:, -1]  # hidden of the last control position
+
+    ln_p = params['to_logits_ln']
+    fc_k = params['to_logits_fc']['kernel']
+    fc_b = params['to_logits_fc']['bias']
+
+    def image_logits(hidden):
+        h = _ln(ln_p, hidden)
+        logits = h @ fc_k + fc_b
+        return logits[:, cfg.num_control_tokens:]  # image range only
+
+    k_img = max(int((1 - filter_thres) * cfg.total_tokens), 1)
+    k_img = min(k_img, cfg.num_image_tokens)
+
+    def sample_tok(key, logits):
+        # top-k filter in the (only-finite) image range (dalle_artv.py:61-67)
+        if k_img < cfg.num_image_tokens:
+            thresh = jnp.sort(logits, axis=-1)[:, -k_img][:, None]
+            logits = jnp.where(logits < thresh, -jnp.inf, logits)
+        return jax.random.categorical(key, logits / temperature, axis=-1)
+
+    key, k0 = jax.random.split(key)
+    tok0 = sample_tok(k0, image_logits(prefix_last))
+
+    def step(carry, inp):
+        cache_k, cache_v, tok, key = carry
+        step_i, = inp
+        pos = ctrl_len + step_i           # cache position of this token
+        emb = (image_emb_table[tok] + pos_emb_full[:, step_i]
+               ).astype(jnp.float32)
+        x = emb
+        new_k, new_v = [], []
+        for i in range(n_layers):
+            x, ck, cv = block_step(_block_params(params, i), x,
+                                   cache_k[i], cache_v[i], pos)
+            new_k.append(ck)
+            new_v.append(cv)
+        cache_k = jnp.stack(new_k)
+        cache_v = jnp.stack(new_v)
+        key, ks = jax.random.split(key)
+        nxt = sample_tok(ks, image_logits(x))
+        return (cache_k, cache_v, nxt, key), tok
+
+    # Feed token i at step i (cache position ctrl_len+i) and sample token
+    # i+1; the final token is never fed back (the reference's last forward
+    # sees total_seq_len positions, dalle_artv.py:258-281), so scan runs
+    # n_gen-1 steps and the last sample completes the sequence.
+    n_gen = cfg.target_seq_len
+    (_, _, last_tok, _), fed = jax.lax.scan(
+        step, (cache_k, cache_v, tok0, key),
+        (jnp.arange(n_gen - 1),))
+    out = jnp.concatenate(
+        [jnp.moveaxis(fed, 0, 1), last_tok[:, None]], axis=1)  # [B, n_gen]
+    return out.astype(jnp.int32)

@@ -228,8 +228,10 @@ def convert_bert(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
             # {text,text_pos,image,visual,special,special_pos}_emb
             _assign(params, [name[:-7], 'embedding'], w)
             continue
-        if name.startswith('target_pos_emb.'):
-            _assign(params, ['target_pos_emb', name.split('.', 1)[1]], w)
+        if name.startswith('target_pos_emb.') or \
+                name.startswith('image_pos_emb.'):  # ARTV axial pos emb
+            root, leaf = name.split('.', 1)
+            _assign(params, [root, leaf], w)
             continue
         if name.startswith('visual_pos_emb.module_list.'):
             _, _, i, leaf = name.split('.')

@@ -225,6 +225,52 @@ def load_reference_bert(dim=64, heads=2, layers=2, text_seq_len=8,
     return model
 
 
+def load_reference_artv(dim=64, heads=2, layers=2, text_seq_len=6,
+                        num_text_tokens=50, num_visuals=1, num_targets=2,
+                        image_size=32, vae_layers=2, num_tokens=1024,
+                        seed=0, **kwargs):
+    """Reference dalle_artv.DALLE with a file-free causal CLIP stack."""
+    install_reference(need_bert_deps=True)
+    import torch
+    import torch.nn as nn
+    torch.manual_seed(seed)
+
+    from mmvid_pytorch.transformers import clip_model
+
+    class FileFreeCLIPTransformer(clip_model.OpenAICLIPTransformer):
+        def __init__(self, seq_len=0, which_model='openai_clip_visual',
+                     model_path='', causal=True, mask_type='causal',
+                     mask_kwargs=None):
+            nn.Module.__init__(self)
+            self.context_length = seq_len
+            self.causal = causal
+            model = clip_model.Transformer(width=dim, layers=layers,
+                                           heads=heads)
+            if causal:
+                for attn_block in model.resblocks:
+                    attn_block.attn_mask = self.build_attention_mask(
+                        seq_len, mask_type=mask_type, **(mask_kwargs or {}))
+            self.transformer = model.float()
+
+    orig = clip_model.OpenAICLIPTransformer
+    clip_model.OpenAICLIPTransformer = FileFreeCLIPTransformer
+    try:
+        import importlib
+        dalle_artv = importlib.import_module('mmvid_pytorch.dalle_artv')
+        vae = FakeVae(image_size=image_size, num_layers=vae_layers,
+                      num_tokens=num_tokens)
+        model = dalle_artv.DALLE(
+            dim=dim, vae=vae, num_text_tokens=num_text_tokens,
+            text_seq_len=text_seq_len, num_visuals=num_visuals,
+            num_targets=num_targets,
+            which_transformer='openai_clip_visual',
+            openai_clip_path='', **kwargs)
+    finally:
+        clip_model.OpenAICLIPTransformer = orig
+    model.eval()
+    return model
+
+
 def load_reference_vqmodel(cfg=None, seed: int = 0):
     """Instantiate the reference taming VQModel with an Identity loss."""
     install_reference()
