@@ -32,7 +32,7 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     steps = 20
 
-    model, vae = _flagship(tiny=False)
+    model, vae = _flagship(tiny=False, dtype=jnp.bfloat16)
     cfg = model.cfg
 
     text = jnp.ones((batch, cfg.text_seq_len), jnp.int32)

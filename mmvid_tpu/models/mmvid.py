@@ -50,6 +50,7 @@ class MMVIDBert:
             key = key if key is not None else jax.random.PRNGKey(0)
             params = self.init_params(key)
         self.params = params
+        self._gen_cache: Dict[Any, Any] = {}
 
     def init_params(self, key):
         cfg = self.cfg
@@ -183,41 +184,58 @@ class MMVIDBert:
                         mask_predict_steps=0, preserve=None, t_overlap=1,
                         long_mode='long', dynamic=True, mp_config=None,
                         decode=True):
-        """Returns (videos [B,T,H,W,3] in [0,1], img_seq [B, T*n])."""
+        """Returns (videos [B,T,H,W,3] in [0,1], img_seq [B, T*n]).
+
+        The ENTIRE pipeline (visual-control tokenization/corruption, control
+        embedding, the full mask-predict loop, and the VQGAN video decode)
+        compiles into one XLA program, cached per static configuration — the
+        reference dispatches every one of its ~20xB transformer calls and
+        per-frame decodes separately (dalle_bert.py:618-714)."""
         cfg = self.cfg
         mp_config = mp_config or DEFAULT_MP_CONFIG
-        k_vis, k_sample = jax.random.split(key)
-
-        b = text.shape[0]
-        if cfg.num_visuals > 0:
-            if visual is not None:
-                visual_tokens = self.prepare_visual_tokens(
-                    k_vis, visual, erase_visual=erase_visual,
-                    erase_visual_half=True,  # dalle_bert.py:462-463
-                    vc_mode=vc_mode, face_mode=face_mode)
-            else:
-                visual_tokens = self.fully_masked_visual(b)
-        else:
-            visual_tokens = None
-
-        control_emb = self.core.apply({'params': self.params}, text,
-                                      visual_tokens,
-                                      method=BertCore.control_embedding)
 
         pmask, N = preserve_layout(cfg, long_mode, t_overlap,
                                    preserve is not None)
         spec = build_spec(mp_config, N, steps=mask_predict_steps,
                           dynamic=dynamic)
-        ptoks = None
-        if preserve is not None:
-            ptoks = arrange_preserve_tokens(cfg, preserve, long_mode,
-                                            t_overlap)
-        img_seq = mask_predict(self.core, self.params, control_emb,
-                               k_sample, spec, pmask, ptoks)
-        if not decode:
-            return None, img_seq
-        videos = self.decode_video(img_seq)
-        return videos, img_seq
+        statics = (spec, pmask.tobytes(), visual is not None,
+                   visual.ndim if visual is not None else 0,
+                   preserve is not None, erase_visual, vc_mode, face_mode,
+                   long_mode, t_overlap, decode)
+        if statics not in self._gen_cache:
+            def impl(params, vae_params, text, visual, key, preserve):
+                k_vis, k_sample = jax.random.split(key)
+                b = text.shape[0]
+                if cfg.num_visuals > 0:
+                    if visual is not None:
+                        visual_tokens = self.prepare_visual_tokens(
+                            k_vis, visual, erase_visual=erase_visual,
+                            erase_visual_half=True,  # dalle_bert.py:462-463
+                            vc_mode=vc_mode, face_mode=face_mode)
+                    else:
+                        visual_tokens = self.fully_masked_visual(b)
+                else:
+                    visual_tokens = None
+                control_emb = self.core.apply(
+                    {'params': params}, text, visual_tokens,
+                    method=BertCore.control_embedding)
+                ptoks = None
+                if preserve is not None:
+                    ptoks = arrange_preserve_tokens(cfg, preserve, long_mode,
+                                                    t_overlap)
+                img_seq = mask_predict(self.core, params, control_emb,
+                                       k_sample, spec, pmask, ptoks)
+                if not decode:
+                    return None, img_seq
+                frames = img_seq.reshape(b * cfg.num_targets,
+                                         cfg.image_seq_len)
+                imgs = self.vae._decode_impl(vae_params, frames)
+                videos = imgs.reshape((b, cfg.num_targets) + imgs.shape[1:])
+                return videos, img_seq
+
+            self._gen_cache[statics] = jax.jit(impl)
+        return self._gen_cache[statics](self.params, self.vae.params, text,
+                                        visual, key, preserve)
 
     def decode_video(self, img_seq):
         cfg = self.cfg
