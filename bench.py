@@ -43,15 +43,20 @@ def main():
             k, text, mask_predict_steps=steps, dynamic=False)
         return videos
 
+    def force(x):
+        # On the tunneled TPU platform block_until_ready returns without
+        # blocking; a scalar readback forces execution with ~no transfer.
+        return float(jnp.sum(x[0, 0, 0, 0]))
+
     # warmup/compile
     videos = sample(key)
-    videos.block_until_ready()
+    force(videos)
 
     n_iters = 3
     t0 = time.perf_counter()
     for i in range(n_iters):
         videos = sample(jax.random.fold_in(key, i))
-    videos.block_until_ready()
+        force(videos)
     dt = (time.perf_counter() - t0) / n_iters
 
     frames = batch * cfg.num_targets

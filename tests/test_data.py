@@ -1,0 +1,156 @@
+"""Data pipeline: synthetic dataset trees driving the datasets + loader."""
+
+import os
+import random
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from mmvid_tpu.data import (
+    DataLoader,
+    TextVideoDataset,
+    VoxDataset,
+    infinite_batches,
+)
+from mmvid_tpu.data import pcfg
+from mmvid_tpu.tokenizer import SimpleTokenizer
+
+
+@pytest.fixture(scope='module')
+def tok():
+    return SimpleTokenizer()
+
+
+def _write_frame(path, color):
+    arr = np.full((40, 64, 3), color, np.uint8)
+    arr += np.random.RandomState(0).randint(0, 30, arr.shape, dtype=np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+@pytest.fixture(scope='module')
+def vox_tree(tmp_path_factory):
+    """Tiny Multimodal-VoxCeleb-style tree: 3 identities x 12 frames."""
+    root = tmp_path_factory.mktemp('data') / 'mmvox'
+    keys = [f'id{i:05d}#clip{i}#000' for i in range(3)]
+    for i, key in enumerate(keys):
+        for sub in ('video', 'mask'):
+            d = root / sub / key
+            d.mkdir(parents=True)
+            for j in range(12):
+                _write_frame(d / f'{j:04d}.png', 40 * i + 5 * j)
+        d = root / 'draw' / 'style1' / key
+        d.mkdir(parents=True)
+        for j in range(3):
+            _write_frame(d / f'{j:04d}.png', 200 - 40 * i)
+        (root / 'txt').mkdir(exist_ok=True)
+        (root / 'txt' / f'{key}.txt').write_text(
+            f'He has wavy hair. He is young. He is person {i}.\n'
+            f'A man with wavy hair number {i}.\n')
+        (root / 'label').mkdir(exist_ok=True)
+        label = ['0'] * 40
+        label[20] = '1'
+        label[39 - i] = '1'
+        (root / 'label' / f'{key}.txt').write_text(','.join(label))
+    return root
+
+
+def test_text_video_dataset(vox_tree, tok):
+    ds = TextVideoDataset(str(vox_tree), text_len=20, image_size=32,
+                          truncate_captions=True, tokenizer=tok,
+                          frame_num=4, frame_step=2,
+                          cache=str(vox_tree / 'c1.pkl'))
+    assert len(ds) == 3
+    s = ds[0]
+    assert s['target'].shape == (4, 32, 32, 3)
+    assert s['visual'].shape == (1, 32, 32, 3)
+    assert s['text'].shape == (20,)
+    assert 0.0 <= s['target'].min() and s['target'].max() <= 1.0
+
+    # deterministic mode picks the first caption + first frames
+    ds_det = TextVideoDataset(str(vox_tree), text_len=20, image_size=32,
+                              truncate_captions=True, tokenizer=tok,
+                              frame_num=4, frame_step=2, deterministic=True,
+                              cache=str(vox_tree / 'c1.pkl'))
+    a = ds_det[1]
+    b = ds_det[1]
+    np.testing.assert_array_equal(a['target'], b['target'])
+    assert a['description'].startswith('He has wavy hair. He is young.')
+
+
+def test_text_video_negatives(vox_tree, tok):
+    ds = TextVideoDataset(str(vox_tree), text_len=20, image_size=32,
+                          truncate_captions=True, tokenizer=tok,
+                          frame_num=4, frame_step=2, return_neg=True,
+                          cache=str(vox_tree / 'c1.pkl'))
+    s = ds[0]
+    assert 'text_neg' in s and s['text_neg'].shape == (20,)
+
+
+@pytest.mark.parametrize('mode,n_vis', [
+    ('text', 1), ('mask+text', 1), ('draw+text', 1),
+    ('image_same+mask', 2), ('image+draw', 2), ('draw+mask', 2),
+    # image+video33 takes frames[:9:3] of the clip (2 of a 4-frame test
+    # clip) plus one appearance image
+    ('image+text_dropout', 1), ('image+video33', 3),
+])
+def test_vox_attr_modes(vox_tree, tok, mode, n_vis):
+    ds = VoxDataset(str(vox_tree), attr_mode=mode, text_len=30,
+                    image_size=32, truncate_captions=True, tokenizer=tok,
+                    frame_num=4, frame_step=2,
+                    cache=str(vox_tree / 'c1.pkl'))
+    s = ds[0]
+    assert s['visual'].shape == (n_vis, 32, 32, 3), mode
+    assert s['target'].shape == (4, 32, 32, 3)
+    if mode == 'image_same+mask':
+        assert 'image one' in s['description']
+
+
+def test_vox_label_negatives(vox_tree, tok):
+    ds = VoxDataset(str(vox_tree), attr_mode='mask+text', text_len=30,
+                    image_size=32, truncate_captions=True, tokenizer=tok,
+                    frame_num=4, frame_step=2, return_neg=True,
+                    cache=str(vox_tree / 'c1.pkl'))
+    s = ds[1]
+    assert 'text_neg' in s
+
+
+def test_dataloader_sharding(vox_tree, tok):
+    ds = TextVideoDataset(str(vox_tree), text_len=20, image_size=32,
+                          truncate_captions=True, tokenizer=tok,
+                          frame_num=4, frame_step=2,
+                          cache=str(vox_tree / 'c1.pkl'))
+    dl = DataLoader(ds, batch_size=2, num_workers=2, seed=0)
+    batch = next(iter(dl))
+    assert batch['target'].shape == (2, 4, 32, 32, 3)
+    assert batch['text'].shape == (2, 20)
+
+    # two hosts see disjoint shards
+    dl0 = DataLoader(ds, batch_size=1, shuffle=False, process_index=0,
+                     process_count=2)
+    dl1 = DataLoader(ds, batch_size=1, shuffle=False, process_index=1,
+                     process_count=2)
+    assert set(dl0._indices()).isdisjoint(dl1._indices())
+
+    it = infinite_batches(DataLoader(ds, batch_size=2, num_workers=2))
+    for _ in range(4):  # crosses an epoch boundary (3 samples, batch 2)
+        b = next(it)
+        assert b['target'].shape[0] == 2
+
+
+def test_pcfg_generation():
+    random.seed(0)
+    np.random.seed(0)
+    pred = np.zeros(40, bool)
+    for a in ('Wavy_Hair', 'Young', 'Male', 'Eyeglasses', 'No_Beard'):
+        pred[pcfg.ATTR.index(a)] = True
+    sents = pcfg.generate(pred.copy(), n=3)
+    assert len(sents) == 3
+    joined = ' '.join(sents).lower()
+    assert 'wavy hair' in joined
+    for s in sents:
+        assert s.endswith('.') and s[0].isupper()
+
+    rand_sents = pcfg.generate_random_sentences(n_attr=8, n_sent=4)
+    assert len(rand_sents) == 4 and all(s for s in rand_sents)
