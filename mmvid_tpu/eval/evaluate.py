@@ -1,0 +1,136 @@
+"""Quantitative evaluation orchestration (reference utils/utils_eval.py).
+
+``evaluate``: loop eval_num/batch batches, sample videos, ping-pong-extend to
+15/16 frames, I3D-embed real & fake, save real/fake_embs.npy, report FVD +
+PRD scores to txt/pkl (utils_eval.py:31-219).
+
+``evaluate_clip``: per-frame CLIP similarity, max over frames, mean±std
+(utils_eval.py:226-323; the reference's code path is broken as shipped — it
+calls a nonexistent ``generate_images_debug`` at :297 — fixed here by using
+the normal generation API).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmvid_tpu.eval.fvd import (
+    extend_video_pingpong,
+    frechet_distance,
+    preprocess_videos,
+)
+from mmvid_tpu.eval import prd as prd_mod
+
+
+def evaluate(args, model, dl_iter, i3d_variables=None, key=None,
+             metrics=('fvd', 'prd')):
+    """Returns {'fvd': float, 'prd': (F8, F1/8)} and writes artifacts to
+    args.log_metric_dir."""
+    from mmvid_tpu.eval.i3d import I3D
+
+    out_dir = Path(getattr(args, 'log_metric_dir', 'metrics'))
+    out_dir.mkdir(parents=True, exist_ok=True)
+    key = key if key is not None else jax.random.PRNGKey(args.seed)
+
+    video_length = 15 if args.num_targets < 16 else 16
+    total = args.eval_num
+    batch = args.batch_size
+
+    i3d = I3D()
+    if i3d_variables is None:
+        # random-weight I3D still exercises the full pipeline; numbers are
+        # NOT comparable to the reference without converted kinetics weights
+        i3d_variables = i3d.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, video_length, 224, 224, 3)))
+
+    @jax.jit
+    def embed(v):
+        return i3d.apply(i3d_variables, preprocess_videos(v))
+
+    real_embs, fake_embs = [], []
+    steps = max(total // batch, 1)
+    for it in range(steps):
+        sample = next(dl_iter)
+        text = jnp.asarray(sample['text'])
+        frames = np.asarray(sample['target'])
+        visual = (jnp.asarray(sample['visual'])
+                  if model.cfg.num_visuals > 0 and 'visual' in sample
+                  else None)
+        key, k = jax.random.split(key)
+        fake, _ = model.generate_images(
+            k, text, visual=visual,
+            mask_predict_steps=(args.mask_predict_steps[0]
+                                if getattr(args, 'mask_predict_steps', None)
+                                else 0),
+            dynamic=getattr(args, 'pnag_dynamic', False),
+            mp_config=args.mp_config)
+        fake = np.asarray(fake)
+
+        real_ext = np.stack([extend_video_pingpong(v, video_length)
+                             for v in frames])
+        fake_ext = np.stack([extend_video_pingpong(v, video_length)
+                             for v in fake])
+        real_embs.append(np.asarray(embed(jnp.asarray(real_ext))))
+        fake_embs.append(np.asarray(embed(jnp.asarray(fake_ext))))
+
+    real_embs = np.concatenate(real_embs)
+    fake_embs = np.concatenate(fake_embs)
+    np.save(out_dir / 'real_embs.npy', real_embs)
+    np.save(out_dir / 'fake_embs.npy', fake_embs)
+
+    results = {}
+    if 'fvd' in metrics:
+        fvd = frechet_distance(real_embs, fake_embs)
+        results['fvd'] = fvd
+        (out_dir / 'fvd_score.txt').write_text(f'{fvd}\n')
+    if 'prd' in metrics:
+        p, r = prd_mod.compute_prd_from_embedding(fake_embs, real_embs)
+        pair = prd_mod.prd_to_max_f_beta_pair(p, r)
+        results['prd'] = pair
+        with open(out_dir / 'prd_data.pkl', 'wb') as f:
+            pickle.dump({'precision': p, 'recall': r}, f)
+        (out_dir / 'prd_score.txt').write_text(
+            f'F_8 = {pair[0]}, F_1/8 = {pair[1]}\n')
+    return results
+
+
+def evaluate_clip(args, model, dl_iter, clip_encoders, key=None):
+    """CLIP score: max-over-frames image-text similarity, mean ± std
+    (utils_eval.py:226-323, with the generate_images_debug bug fixed).
+
+    clip_encoders: (encode_text(tokens)->[B,D], encode_image(img)->[B,D]).
+    """
+    encode_text, encode_image = clip_encoders
+    key = key if key is not None else jax.random.PRNGKey(args.seed)
+    scores = []
+    steps = max(args.eval_num // args.batch_size, 1)
+    for _ in range(steps):
+        sample = next(dl_iter)
+        text = jnp.asarray(sample['text'])
+        key, k = jax.random.split(key)
+        fake, _ = model.generate_images(
+            k, text, mp_config=args.mp_config,
+            mask_predict_steps=(args.mask_predict_steps[0]
+                                if getattr(args, 'mask_predict_steps', None)
+                                else 0))
+        t_emb = encode_text(sample['description'])
+        t_emb = t_emb / np.linalg.norm(t_emb, axis=-1, keepdims=True)
+        per_frame = []
+        for f in range(fake.shape[1]):
+            i_emb = np.asarray(encode_image(fake[:, f]))
+            i_emb = i_emb / np.linalg.norm(i_emb, axis=-1, keepdims=True)
+            per_frame.append((t_emb * i_emb).sum(-1))
+        scores.append(np.max(np.stack(per_frame), axis=0))
+    scores = np.concatenate(scores)
+    out_dir = Path(getattr(args, 'log_metric_dir', 'metrics'))
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / 'clip_score.txt').write_text(
+        f'{scores.mean()} +/- {scores.std()}\n')
+    return float(scores.mean()), float(scores.std())

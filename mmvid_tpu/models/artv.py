@@ -231,6 +231,99 @@ def artv_loss(core: ArtvCore, params, text, visual_tokens, image_tokens):
     return loss, jnp.float32(0.0), jnp.float32(0.0)
 
 
+class ArtvModel:
+    """Top-level ART-V wrapper mirroring MMVIDBert's API surface
+    (loss(params, key, ...), generate_images) so the training driver and
+    step builder are model-agnostic (reference DALLE class surface,
+    dalle_artv.py:103-304)."""
+
+    def __init__(self, cfg: ArtvConfig, vae, cvae=None, params=None,
+                 key=None, dtype=jnp.float32):
+        self.cfg = cfg
+        self.vae = vae
+        self.cvae = cvae
+        self.core = ArtvCore(cfg, dtype=dtype)
+        if params is None:
+            key = key if key is not None else jax.random.PRNGKey(0)
+            params = self.init_params(key)
+        self.params = params
+        self._gen_cache = {}
+
+    def init_params(self, key):
+        cfg = self.cfg
+        return self.core.init(
+            key, jnp.zeros((1, cfg.text_seq_len), jnp.int32),
+            jnp.zeros((1, cfg.visual_seq_len), jnp.int32),
+            jnp.zeros((1, cfg.target_seq_len), jnp.int32))['params']
+
+    def get_image_tokens(self, images, which_vae='vae'):
+        vae = self.cvae if (which_vae == 'cvae' and self.cvae is not None) \
+            else self.vae
+        if images.ndim == 4:
+            images = images[:, None]
+        b, t = images.shape[:2]
+        flat = images.reshape((b * t,) + images.shape[2:])
+        return vae.get_codebook_indices(flat).reshape(b, -1)
+
+    def loss(self, params, key, *, text, visual=None, target=None,
+             **unused):
+        """(loss, 0, 0) — the driver's beta_msm scales it; beta_msm is
+        forced to 1.0 in AR mode (utils_args.py:529-533)."""
+        if visual is not None and visual.ndim >= 4:
+            visual_tokens = self.get_image_tokens(visual, which_vae='cvae')
+        elif visual is not None:
+            visual_tokens = visual
+        else:
+            visual_tokens = jnp.full(
+                (text.shape[0], self.cfg.visual_seq_len), -1, jnp.int32)
+        if target.ndim >= 4:
+            target_tokens = self.get_image_tokens(target)
+        else:
+            target_tokens = target
+        return artv_loss(self.core, params, text, visual_tokens,
+                         target_tokens)
+
+    def generate_images(self, key, text, *, visual=None, filter_thres=0.5,
+                        temperature=1.0, decode=True, **unused):
+        statics = (visual is not None,
+                   visual.ndim if visual is not None else 0,
+                   filter_thres, temperature, decode)
+        if statics not in self._gen_cache:
+            def impl(params, vae_params, text, visual, key):
+                if visual is not None and visual.ndim >= 4:
+                    vtok = self.get_image_tokens(visual, which_vae='cvae')
+                elif visual is not None:
+                    vtok = visual
+                else:
+                    vtok = jnp.full(
+                        (text.shape[0], self.cfg.visual_seq_len), -1,
+                        jnp.int32)
+                seq = ar_sample(self.core, params, text, vtok, key,
+                                filter_thres=filter_thres,
+                                temperature=temperature)
+                if not decode:
+                    return None, seq
+                b = seq.shape[0]
+                frames = seq.reshape(b * self.cfg.num_targets,
+                                     self.cfg.image_seq_len)
+                imgs = self.vae._decode_impl(vae_params, frames)
+                return imgs.reshape((b, self.cfg.num_targets)
+                                    + imgs.shape[1:]), seq
+            self._gen_cache[statics] = jax.jit(impl)
+        return self._gen_cache[statics](self.params, self.vae.params, text,
+                                        visual, key)
+
+    def decode_video(self, img_seq):
+        b = img_seq.shape[0]
+        frames = img_seq.reshape(b * self.cfg.num_targets,
+                                 self.cfg.image_seq_len)
+        imgs = self.vae.decode(frames)
+        return imgs.reshape((b, self.cfg.num_targets) + imgs.shape[1:])
+
+    def recon_images(self, images, which_vae='vae'):
+        return self.decode_video(self.get_image_tokens(images, which_vae))
+
+
 # ---------------------------------------------------------------------------
 # KV-cached autoregressive sampling
 # ---------------------------------------------------------------------------

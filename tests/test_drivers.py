@@ -1,0 +1,113 @@
+"""End-to-end driver tests: train.py + test.py CLI paths on a synthetic
+dataset with a tiny custom backbone."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+@pytest.fixture(scope='module')
+def data_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp('driver') / 'mmvox'
+    rng = np.random.RandomState(0)
+    for i in range(18):
+        key = f'id{i:05d}#c{i}#000'
+        d = root / 'video' / key
+        d.mkdir(parents=True)
+        for j in range(10):
+            arr = rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f'{j:03d}.png')
+        (root / 'txt').mkdir(exist_ok=True)
+        (root / 'txt' / f'{key}.txt').write_text(
+            f'a person number {i} is talking\n')
+    return root
+
+
+def _train_args(data_tree, tmp_path, extra=()):
+    from mmvid_tpu.config import process_args
+    argv = ([
+        '--image_text_folder', str(data_tree),
+        '--dataset', 'video_text',
+        '--name', 'tiny_run', '--log_root', str(tmp_path / 'logs'),
+        '--batch_size', '2', '--iters', '3',
+        '--which_transformer', 'custom:64:2:2', '--dim', '64',
+        '--text_seq_len', '12', '--num_targets', '2', '--num_visuals', '0',
+        '--frame_num', '2', '--frame_step', '2', '--image_size', '32',
+        '--save_every_n_steps', '2', '--log_every', '1',
+        '--sample_every', '100000', '--num_workers', '2',
+        '--beta_rel', '0.0', '--beta_vid', '0.0',
+        '--lr_scheduler_warmup', '2',
+    ] + list(extra))
+    return process_args(train=True, argv=argv)
+
+
+def test_train_driver_end_to_end(data_tree, tmp_path):
+    import train as train_mod
+    args = _train_args(data_tree, tmp_path)
+    train_mod.main_worker(args)
+
+    log_dir = tmp_path / 'logs' / 'tiny_run'
+    assert (log_dir / 'log.txt').exists()
+    assert (log_dir / 'weights' / '3').exists()
+    assert (log_dir / 'weights' / 'last').exists()
+    line = (log_dir / 'log.txt').read_text().splitlines()[0]
+    assert 'loss' in line and 'nan' not in line
+
+
+def test_test_driver_sampling(data_tree, tmp_path):
+    import train as train_mod
+    import test as test_mod
+    from mmvid_tpu.config import process_args
+
+    args = _train_args(data_tree, tmp_path)
+    train_mod.main_worker(args)
+
+    argv = [
+        '--image_text_folder', str(data_tree),
+        '--dataset', 'video_text',
+        '--name', 'tiny_run', '--log_root', str(tmp_path / 'logs'),
+        '--batch_size', '2',
+        '--which_transformer', 'custom:64:2:2', '--dim', '64',
+        '--text_seq_len', '12', '--num_targets', '2', '--num_visuals', '0',
+        '--frame_num', '2', '--frame_step', '2', '--image_size', '32',
+        '--n_per_sample', '1', '--mask_predict_steps', '2',
+        '--num_workers', '2', '--use_html',
+    ]
+    targs = process_args(train=False, argv=argv)
+    test_mod.main_worker(targs)
+    log_dir = tmp_path / 'logs' / 'tiny_run'
+    samples = list((log_dir / 'samples').glob('*.png'))
+    assert samples, 'no sample grids written'
+    assert (log_dir / 'web' / 'index.html').exists()
+
+
+def test_test_driver_long_mode(data_tree, tmp_path):
+    import train as train_mod
+    import test as test_mod
+    from mmvid_tpu.config import process_args
+
+    args = _train_args(data_tree, tmp_path)
+    train_mod.main_worker(args)
+
+    argv = [
+        '--image_text_folder', str(data_tree),
+        '--dataset', 'video_text',
+        '--name', 'tiny_run', '--log_root', str(tmp_path / 'logs'),
+        '--batch_size', '1',
+        '--which_transformer', 'custom:64:2:2', '--dim', '64',
+        '--text_seq_len', '12', '--num_targets', '2', '--num_visuals', '0',
+        '--frame_num', '2', '--frame_step', '2', '--image_size', '32',
+        '--eval_mode', 'long', '--long_mode', 'long',
+        '--t_repeat', '3', '--t_overlap', '1',
+        '--mask_predict_steps', '2', '--num_workers', '2',
+    ]
+    targs = process_args(train=False, argv=argv)
+    video = test_mod.main_worker(targs)
+    # 2 frames + 2 chunks x 1 novel frame each
+    assert video.shape[1] == 2 + 2 * 1

@@ -1,0 +1,196 @@
+#!/usr/bin/env python3
+"""Training driver (reference train.py:47-395), TPU-native.
+
+Same CLI as the reference (scripts/mmvoxceleb/*/train.sh run unchanged).
+Instead of one-process-per-GPU DDP (reference train.py:28-97), a single
+SPMD program runs over a jax.sharding.Mesh: the batch is dp-sharded, the
+whole MSM/REL/VID step is one compiled XLA program, and rank-0-only side
+effects become process_index==0 gating.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main():
+    from mmvid_tpu.config import process_args
+    args = process_args(train=True)
+    main_worker(args)
+
+
+def is_root():
+    import jax
+    return jax.process_index() == 0
+
+
+def main_worker(args):
+    import jax
+    import jax.numpy as jnp
+
+    from mmvid_tpu import factories
+    from mmvid_tpu.data.loader import DataLoader, infinite_batches
+    from mmvid_tpu.parallel.mesh import make_mesh
+    from mmvid_tpu.training import (
+        TrainConfig,
+        create_train_state,
+        jit_train_step,
+    )
+    from mmvid_tpu.utils.checkpoint import (
+        latest_checkpoint,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    log_dir = Path(args.log_root) / args.name
+    log_sample_dir = log_dir / 'samples'
+    if is_root():
+        log_dir.mkdir(parents=True, exist_ok=True)
+        log_sample_dir.mkdir(exist_ok=True)
+        (log_dir / 'args.txt').write_text(
+            '\n'.join(f'{k}={v}' for k, v in sorted(vars(args).items())))
+
+    webpage = None
+    if args.use_html and is_root():
+        from mmvid_tpu.utils.html import initialize_webpage
+        webpage = initialize_webpage(
+            str(log_dir / 'web'), 'MMVID-TPU: ' + args.name, False)
+
+    # ---- components (reference train.py:129-234) ----
+    tokenizer = factories.get_tokenizer(args)
+    language_model, text_feature_dim, tokenizer2 = None, 0, None
+    if args.fixed_language_model is not None:
+        language_model, text_feature_dim = \
+            factories.get_fixed_language_model(args)
+
+    vae = factories.get_vae_model(args, which_vae='vae',
+                                  image_size=args.image_size)
+    cvae = None
+    if args.cvae_path:
+        cvae = factories.get_vae_model(args, which_vae='cvae',
+                                       image_size=args.image_size)
+
+    model = factories.get_dalle(args, vae, cvae,
+                                text_feature_dim=text_feature_dim)
+
+    start_iter = args.start_iter or 0
+    if args.dalle_path:
+        if str(args.dalle_path).endswith('.pt'):
+            from mmvid_tpu.utils.torch_compat import load_dalle_checkpoint
+            ckpt = load_dalle_checkpoint(args.dalle_path)
+            model.params = ckpt['params']
+            if ckpt.get('vae'):
+                vae.params = ckpt['vae']
+            start_iter = args.start_iter if args.start_iter is not None \
+                else ckpt.get('iter', 0) or 0
+        else:
+            tree, _ = load_checkpoint(args.dalle_path)
+            model.params = tree['params']
+
+    dataset = factories.get_dataset(args, tokenizer)
+    if is_root():
+        print(f'{len(dataset)} samples found')
+    loader = DataLoader(dataset, batch_size=args.batch_size,
+                        num_workers=min(args.num_workers, 16),
+                        seed=args.seed,
+                        process_index=jax.process_index(),
+                        process_count=jax.process_count())
+    batches = infinite_batches(loader)
+
+    tc = TrainConfig(
+        learning_rate=args.learning_rate, optimizer=args.optimizer,
+        lr_scheduler=(args.lr_scheduler if args.lr_decay else 'none'),
+        lr_scheduler_warmup=args.lr_scheduler_warmup,
+        lr_scheduler_step_size=args.lr_scheduler_step_size,
+        total_steps=args.iters, weight_decay=args.weight_decay,
+        clip_grad_norm=args.clip_grad_norm, beta_msm=args.beta_msm,
+        beta_rel=args.beta_rel, beta_vid=args.beta_vid,
+        msm_strategy_prob=tuple(args.msm_strategy_prob),
+        msm_bernoulli_prob=tuple(args.msm_bernoulli_prob),
+        vid_strategy_prob=tuple(args.vid_strategy_prob),
+        pc_prob=args.pc_prob,
+        rel_no_fully_masked=args.rel_no_fully_masked, negvc=args.negvc,
+        rand_visual=args.rand_visual, fullvc=args.fullvc,
+        vc_mode=args.vc_mode, visual_aug_mode=args.visual_aug_mode,
+        dropout_vc=args.dropout_vc)
+
+    mesh_spec = args.mesh_shape
+    if mesh_spec is None:
+        # default all-DP, shrunk to the largest dp that divides the batch
+        import math
+        dp = math.gcd(len(jax.devices()), args.batch_size)
+        if dp < len(jax.devices()) and is_root():
+            print(f'batch {args.batch_size} not divisible by '
+                  f'{len(jax.devices())} devices; using dp={dp}')
+        mesh_spec = f'dp={dp},tp=1'
+        devices = jax.devices()[:dp]
+        mesh = make_mesh(mesh_spec, devices=devices)
+    else:
+        mesh = make_mesh(mesh_spec)
+    step_fn = jit_train_step(model, tc, mesh=mesh)
+    state = step_fn.shard_state(create_train_state(model, tc))
+
+    key = jax.random.PRNGKey(args.seed + jax.process_index())
+    log_path = log_dir / 'log.txt'
+    t0 = time.time()
+
+    hparams = {k: v for k, v in vars(args).items()
+               if isinstance(v, (int, float, str, bool, type(None)))}
+
+    for idx in range(start_iter, args.iters):
+        batch = next(batches)
+        feed = {'text': np.asarray(batch['text']),
+                'target': np.asarray(batch['target'])}
+        if language_model is not None:
+            feed['text'] = language_model(batch['description'])
+        if model.cfg.num_visuals > 0 and 'visual' in batch:
+            feed['visual'] = np.asarray(batch['visual'])
+        if args.negvc and 'text_neg' in batch:
+            feed['text_neg'] = np.asarray(batch['text_neg'])
+
+        key, k = jax.random.split(key)
+        state, metrics = step_fn(state, feed, k)
+
+        if is_root() and (idx % args.log_every == 0):
+            m = {k: float(v) for k, v in metrics.items()}
+            line = (f'iter {idx} loss {m["loss"]:.4f} '
+                    f'msm {m["loss_msm"]:.4f} rel {m["loss_rel"]:.4f} '
+                    f'vid {m["loss_vid"]:.4f} gnorm {m["grad_norm"]:.3f} '
+                    f'({time.time() - t0:.1f}s)')
+            print(line)
+            with open(log_path, 'a') as f:
+                f.write(line + '\n')
+
+        if is_root() and idx and (idx % args.save_every_n_steps == 0):
+            model.params = jax.device_get(state.params)
+            save_checkpoint(str(log_dir), idx,
+                            {'step': idx, 'params': model.params},
+                            hparams=hparams)
+
+        if is_root() and idx and (idx % args.sample_every == 0) \
+                and not args.ar:
+            from mmvid_tpu.utils.viz import visualize_train
+            model.params = jax.device_get(state.params)
+            key, k = jax.random.split(key)
+            visualize_train(
+                model, batch, k, str(log_sample_dir), idx,
+                n_per_sample=min(args.n_per_sample, 2),
+                mask_predict_steps=args.mask_predict_steps[0],
+                vc_mode=args.vc_mode, webpage=webpage,
+                mp_config=args.mp_config)
+
+    if is_root():
+        model.params = jax.device_get(state.params)
+        save_checkpoint(str(log_dir), args.iters,
+                        {'step': args.iters, 'params': model.params},
+                        hparams=hparams)
+        print('training done')
+
+
+if __name__ == '__main__':
+    main()
