@@ -168,8 +168,13 @@ def get_dataset(args, tokenizer):
         from mmvid_tpu.data.iper import IPERDataset
         return IPERDataset(args.image_text_folder, slow=args.slow,
                            attr_mode=args.attr_mode, **common)
-    if args.dataset in ('shape', 'shape_attr'):
+    if args.dataset == 'shape':
         from mmvid_tpu.data.shapes import ShapeDataset
         return ShapeDataset(args.image_text_folder,
                             attr_mode=args.attr_mode, **common)
+    if args.dataset == 'shape_attr':
+        from mmvid_tpu.data.shapes import ShapeAttrDataset
+        return ShapeAttrDataset(args.image_text_folder,
+                                attr_mode=args.attr_mode,
+                                return_neg=args.negvc, **common)
     raise NotImplementedError(args.dataset)
