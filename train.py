@@ -139,6 +139,10 @@ def main_worker(args):
     log_path = log_dir / 'log.txt'
     t0 = time.time()
 
+    # first-class tracing (the reference has none, SURVEY.md §5): capture a
+    # profiler trace of steps 10-15 when --profile_dir is set
+    profile_dir = getattr(args, 'profile_dir', None)
+
     hparams = {k: v for k, v in vars(args).items()
                if isinstance(v, (int, float, str, bool, type(None)))}
 
@@ -153,8 +157,14 @@ def main_worker(args):
         if args.negvc and 'text_neg' in batch:
             feed['text_neg'] = np.asarray(batch['text_neg'])
 
+        if profile_dir and idx == start_iter + 10 and is_root():
+            jax.profiler.start_trace(profile_dir)
         key, k = jax.random.split(key)
         state, metrics = step_fn(state, feed, k)
+        if profile_dir and idx == start_iter + 15 and is_root():
+            jax.tree_util.tree_map(
+                lambda x: x.block_until_ready(), metrics)
+            jax.profiler.stop_trace()
 
         if is_root() and (idx % args.log_every == 0):
             m = {k: float(v) for k, v in metrics.items()}
