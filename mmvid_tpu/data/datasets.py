@@ -209,9 +209,19 @@ class TextVideoDataset(_SkipMixin):
         return int(label_file.read_text().rstrip())
 
     def _load_frame(self, key, i):
-        img = open_rgb(os.path.join(self.root, self.videos[key][i]))
-        # reference square-resizes each frame first (loader.py:407-409)
-        return resize_exact(img, (self.image_size, self.image_size))
+        # The reference square-resizes each frame first (loader.py:407-409).
+        # MMVID_NATIVE_LOADER=1 opts into the C++ decode path
+        # (mmvid_tpu.native): wins on many-core hosts via its thread pool,
+        # but per-image Pillow's SIMD C is faster, so it is not the default.
+        path = os.path.join(self.root, self.videos[key][i])
+        if os.environ.get('MMVID_NATIVE_LOADER') == '1':
+            from mmvid_tpu import native
+            if native.available():
+                from PIL import Image
+                arr = native.load_image(path, self.image_size)
+                return Image.fromarray((arr * 255.0 + 0.5).astype('uint8'))
+        return resize_exact(open_rgb(path),
+                            (self.image_size, self.image_size))
 
     def _get_video(self, index, frame_step=None):
         frame_step = frame_step or self.frame_step

@@ -12,6 +12,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _load(name):
+    """Load this repo's train.py/test.py by path: other tests put
+    /root/reference on sys.path[0], which also has train.py/test.py."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        f'mmvid_repo_{name}', os.path.join(REPO, f'{name}.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 @pytest.fixture(scope='module')
 def data_tree(tmp_path_factory):
     root = tmp_path_factory.mktemp('driver') / 'mmvox'
@@ -48,7 +59,7 @@ def _train_args(data_tree, tmp_path, extra=()):
 
 
 def test_train_driver_end_to_end(data_tree, tmp_path):
-    import train as train_mod
+    train_mod = _load('train')
     args = _train_args(data_tree, tmp_path)
     train_mod.main_worker(args)
 
@@ -61,8 +72,8 @@ def test_train_driver_end_to_end(data_tree, tmp_path):
 
 
 def test_test_driver_sampling(data_tree, tmp_path):
-    import train as train_mod
-    import test as test_mod
+    train_mod = _load('train')
+    test_mod = _load('test')
     from mmvid_tpu.config import process_args
 
     args = _train_args(data_tree, tmp_path)
@@ -88,8 +99,8 @@ def test_test_driver_sampling(data_tree, tmp_path):
 
 
 def test_test_driver_long_mode(data_tree, tmp_path):
-    import train as train_mod
-    import test as test_mod
+    train_mod = _load('train')
+    test_mod = _load('test')
     from mmvid_tpu.config import process_args
 
     args = _train_args(data_tree, tmp_path)
