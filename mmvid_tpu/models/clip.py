@@ -73,13 +73,18 @@ def _ln(name: str):
 
 
 class MultiHeadAttention(nn.Module):
-    """Parity with torch nn.MultiheadAttention self-attention."""
+    """Parity with torch nn.MultiheadAttention self-attention.
+
+    MMVID_PALLAS_ATTN=1 routes the QK^T+softmax+AV through the fused
+    Pallas kernel (mmvid_tpu.ops.attention) to keep logits on-chip."""
     width: int
     heads: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask=None):
+        import os
+
         b, l, d = x.shape
         h, hd = self.heads, self.width // self.heads
         q = nn.Dense(self.width, dtype=self.dtype, name='query')(x)
@@ -88,14 +93,20 @@ class MultiHeadAttention(nn.Module):
         q = q.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
-        logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
-                            preferred_element_type=jnp.float32)
-        logits = logits * (hd ** -0.5)
-        if mask is not None:
-            logits = logits + mask[None, None, :l, :l]
-        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum('bhqk,bhkd->bhqd', attn, v,
-                         preferred_element_type=jnp.float32)
+        if os.environ.get('MMVID_PALLAS_ATTN') == '1':
+            from mmvid_tpu.ops.attention import fused_attention
+            out = fused_attention(q, k, v,
+                                  mask[:l, :l] if mask is not None
+                                  else None)
+        else:
+            logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                                preferred_element_type=jnp.float32)
+            logits = logits * (hd ** -0.5)
+            if mask is not None:
+                logits = logits + mask[None, None, :l, :l]
+            attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum('bhqk,bhkd->bhqd', attn, v,
+                             preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(b, l, d).astype(self.dtype)
         return nn.Dense(self.width, dtype=self.dtype, name='out')(out)
 
