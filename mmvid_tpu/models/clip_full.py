@@ -117,11 +117,15 @@ CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
-def clip_preprocess(images: jax.Array, resolution: int = 224) -> jax.Array:
-    """[B,H,W,3] in [0,1] -> CLIP-normalized [B,res,res,3]."""
+def clip_preprocess(images: jax.Array, resolution: int = 224,
+                    method: str = 'nearest') -> jax.Array:
+    """[B,H,W,3] in [0,1] -> CLIP-normalized [B,res,res,3].
+
+    Default resize is nearest: the reference's clip_similarity upsamples
+    with F.interpolate's default mode (utils/utils.py:66-67)."""
     b, h, w, c = images.shape
     x = jax.image.resize(images, (b, resolution, resolution, c),
-                         method='bicubic')
+                         method=method)
     return (x - CLIP_MEAN) / CLIP_STD
 
 

@@ -34,17 +34,28 @@ def _cap_file(path: str, lines):
 
 
 def visualize_train(model, batch: Dict, key, out_dir: str, iteration: int,
-                    *, n_per_sample: int = 2, mask_predict_steps: int = 0,
-                    vc_mode=None, webpage: Optional[HTML] = None,
-                    mp_config=None):
-    """Real / recon / generated grids for the first samples of a batch
-    (reference visualize_train, utils_train.py:391-776)."""
+                    *, n_per_sample: int = 2, mask_predict_steps=0,
+                    mask_predict_steps1: int = 0, vc_mode=None,
+                    counterfactual: bool = False,
+                    webpage: Optional[HTML] = None, mp_config=None):
+    """Real / recon / generated (/counterfactual-control) grids
+    (reference visualize_train/visualize_test, utils_train.py:391-1217).
+
+    mask_predict_steps may be an int or a list — like the reference's
+    --mask_predict_steps 10 20 30, each generated row cycles through the
+    list.  counterfactual=True adds a row conditioned on the NEIGHBOUR
+    sample's visual control (batch roll) sampled with mask_predict_steps1.
+    """
     os.makedirs(out_dir, exist_ok=True)
     text = jnp.asarray(batch['text'])
     target = jnp.asarray(batch['target'])
     visual = (jnp.asarray(batch['visual'])
               if batch.get('visual') is not None
               and model.cfg.num_visuals > 0 else None)
+
+    steps_list = (list(mask_predict_steps)
+                  if isinstance(mask_predict_steps, (list, tuple))
+                  else [mask_predict_steps])
 
     rows = []
     captions = batch.get('description',
@@ -55,7 +66,15 @@ def visualize_train(model, batch: Dict, key, out_dir: str, iteration: int,
         key, k = jax.random.split(key)
         videos, _ = model.generate_images(
             k, text, visual=visual, vc_mode=vc_mode,
-            mask_predict_steps=mask_predict_steps, dynamic=True,
+            mask_predict_steps=steps_list[j % len(steps_list)],
+            dynamic=True, mp_config=mp_config)
+        rows.append(np.asarray(videos))
+
+    if counterfactual and visual is not None:
+        key, k = jax.random.split(key)
+        videos, _ = model.generate_images(
+            k, text, visual=jnp.roll(visual, 1, axis=0), vc_mode=vc_mode,
+            mask_predict_steps=mask_predict_steps1, dynamic=True,
             mp_config=mp_config)
         rows.append(np.asarray(videos))
 

@@ -111,8 +111,23 @@ def main_worker(args):
             metrics.append('fvd')
         if any('prd' in m for m in args.eval_metric):
             metrics.append('prd')
-        results = evaluate(args, model, dl_iter, i3d_variables=i3d_vars,
-                           key=key, metrics=metrics or ('fvd', 'prd'))
+        results = {}
+        if metrics or not any('clip' in m for m in args.eval_metric):
+            results = evaluate(args, model, dl_iter, i3d_variables=i3d_vars,
+                               key=key, metrics=metrics or ('fvd', 'prd'))
+        if any('clip' in m for m in args.eval_metric):
+            from mmvid_tpu.eval.evaluate import evaluate_clip
+            from mmvid_tpu.models.clip_full import load_clip_scorer
+            scorer = load_clip_scorer(args.openai_clip_model_path)
+
+            def encode_text(descriptions):
+                toks = tokenizer.tokenize(list(descriptions), 77,
+                                          truncate_text=True)
+                return np.asarray(scorer.encode_text(toks))
+
+            results['clip'] = evaluate_clip(
+                args, model, dl_iter,
+                (encode_text, scorer.encode_image), key=key)
         print(results)
         return results
 
@@ -153,9 +168,11 @@ def main_worker(args):
         batch['text'] = language_model(batch['description'])
     visualize_train(model, batch, key, str(log_dir / 'samples'), 0,
                     n_per_sample=args.n_per_sample,
-                    mask_predict_steps=args.mask_predict_steps[0],
-                    vc_mode=args.vc_mode, webpage=webpage,
-                    mp_config=args.mp_config)
+                    mask_predict_steps=args.mask_predict_steps,
+                    mask_predict_steps1=args.mask_predict_steps1,
+                    vc_mode=args.vc_mode,
+                    counterfactual=(args.num_visuals > 0),
+                    webpage=webpage, mp_config=args.mp_config)
     print(f'wrote samples to {log_dir / "samples"}')
 
 
