@@ -91,7 +91,10 @@ def evaluate(args, model, dl_iter, i3d_variables=None, key=None,
         results['fvd'] = fvd
         (out_dir / 'fvd_score.txt').write_text(f'{fvd}\n')
     if 'prd' in metrics:
-        p, r = prd_mod.compute_prd_from_embedding(fake_embs, real_embs)
+        # 20 clusters like the reference, clamped for tiny smoke evals
+        n_clusters = min(20, len(fake_embs))
+        p, r = prd_mod.compute_prd_from_embedding(
+            fake_embs, real_embs, num_clusters=n_clusters)
         pair = prd_mod.prd_to_max_f_beta_pair(p, r)
         results['prd'] = pair
         with open(out_dir / 'prd_data.pkl', 'wb') as f:

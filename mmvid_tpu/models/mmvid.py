@@ -163,9 +163,17 @@ class MMVIDBert:
 
         control_neg = None
         if negvc and text_neg is not None:
-            vneg_tokens = None
+            # NB: the reference's negvc negative control DROPS the visual
+            # segment entirely (dalle_bert.py:909-975), which shifts the
+            # [ST1]/[VID] rows relative to the shared mask_prev mask; we
+            # keep the full layout (loader negatives or fully-masked
+            # visual) so estimation-token positions stay aligned.
             if visual_neg is not None:
                 vneg_tokens = self.prepare_visual_tokens(k_vis, visual_neg)
+            elif cfg.num_visuals > 0:
+                vneg_tokens = self.fully_masked_visual(b)
+            else:
+                vneg_tokens = None
             control_neg = (text_neg, vneg_tokens)
 
         return bert_losses(
