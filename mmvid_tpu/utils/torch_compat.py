@@ -297,6 +297,150 @@ def load_dalle_checkpoint(path: str):
     }
 
 
+# ---------------------------------------------------------------------------
+# Reverse conversion: flax params -> reference-format state_dicts
+# ---------------------------------------------------------------------------
+
+def _flatten(tree, prefix=()):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _flatten(v, prefix + (k,))
+        else:
+            yield prefix + (k,), np.asarray(v)
+
+
+def bert_params_to_torch(params: Dict[str, Any],
+                         vae_params: Dict[str, Any] | None = None,
+                         cvae_params: Dict[str, Any] | None = None
+                         ) -> Dict[str, np.ndarray]:
+    """BertCore flax params -> the reference BERT state_dict naming, so
+    checkpoints written by this framework load in the reference
+    (utils/utils_train.py:297-305 'weights' payload).  Inverse of
+    convert_bert."""
+    inv_heads = {name: head for head, names in _SEQ_HEADS.items()
+                 for name in names}
+    inv_tfm = {v: k for k, v in _TFM_BOTTLENECK.items()}
+    sd: Dict[str, np.ndarray] = {}
+    qkv: Dict[str, Dict[str, np.ndarray]] = {}
+
+    for path, w in _flatten(params):
+        name = '/'.join(path)
+        if path[0] == 'transformer':
+            blk = path[1]          # blocks_<i>
+            i = blk.split('_')[1]
+            base = f'transformer.transformer.resblocks.{i}'
+            if path[2] == 'attn':
+                proj, leaf = path[3], path[4]
+                if proj in ('query', 'key', 'value'):
+                    qkv.setdefault(f'{base}|{leaf}', {})[proj] = w
+                else:  # out
+                    tgt = (f'{base}.attn.out_proj.weight' if leaf == 'kernel'
+                           else f'{base}.attn.out_proj.bias')
+                    sd[tgt] = w.T if leaf == 'kernel' else w
+            elif path[2] in ('ln_1', 'ln_2'):
+                leaf = 'weight' if path[3] == 'scale' else 'bias'
+                sd[f'{base}.{path[2]}.{leaf}'] = w
+            elif path[2] == 'mlp':
+                tname = {'fc': 'c_fc', 'proj': 'c_proj'}[path[3]]
+                leaf = path[4]
+                sd[f'{base}.mlp.{tname}.' +
+                   ('weight' if leaf == 'kernel' else 'bias')] = \
+                    w.T if leaf == 'kernel' else w
+        elif path[-1] == 'embedding':
+            sd[f'{path[0]}.weight'] = w
+        elif path[0] in ('target_pos_emb', 'image_pos_emb'):
+            sd[f'{path[0]}.{path[1]}'] = w
+        elif path[0] == 'visual_pos_emb':
+            i = path[1].split('_')[-1]
+            sd[f'visual_pos_emb.module_list.{i}.{path[2]}'] = w
+        elif path[0] in inv_heads:
+            head = inv_heads[path[0]]
+            idx = '0' if path[0].endswith('_ln') else '1'
+            if idx == '0':
+                leaf = 'weight' if path[1] == 'scale' else 'bias'
+                sd[f'{head}.{idx}.{leaf}'] = w
+            else:
+                leaf = 'weight' if path[1] == 'kernel' else 'bias'
+                sd[f'{head}.{idx}.{leaf}'] = w.T if leaf == 'weight' else w
+        elif path[0] in inv_tfm:
+            tidx = inv_tfm[path[0]]
+            if path[0].startswith('tfm_ln'):
+                leaf = 'weight' if path[1] == 'scale' else 'bias'
+                sd[f'text_feature_mapping.{tidx}.{leaf}'] = w
+            else:
+                leaf = 'weight' if path[1] == 'kernel' else 'bias'
+                sd[f'text_feature_mapping.{tidx}.{leaf}'] = \
+                    w.T if leaf == 'weight' else w
+        elif path[0] == 'tfm_fc':
+            leaf = 'weight' if path[1] == 'kernel' else 'bias'
+            sd[f'text_feature_mapping.{leaf}'] = \
+                w.T if leaf == 'weight' else w
+
+    # repack q/k/v into torch's in_proj
+    for key, parts in qkv.items():
+        base, leaf = key.split('|')
+        q, k, v = parts['query'], parts['key'], parts['value']
+        if leaf == 'kernel':
+            sd[f'{base}.attn.in_proj_weight'] = np.concatenate(
+                [q.T, k.T, v.T], axis=0)
+        else:
+            sd[f'{base}.attn.in_proj_bias'] = np.concatenate([q, k, v])
+
+    for tree, prefix in ((vae_params, 'vae.model.'),
+                         (cvae_params, 'cvae.model.')):
+        if tree is not None:
+            sd.update(vqgan_params_to_torch(tree, prefix))
+    return sd
+
+
+def vqgan_params_to_torch(params: Dict[str, Any], prefix: str = ''
+                          ) -> Dict[str, np.ndarray]:
+    """Inverse of convert_vqgan: flax VQModel params -> taming naming."""
+    inv_subs = [
+        (re.compile(r'\bdown_(\d+)_block_(\d+)\b'), r'down.\1.block.\2'),
+        (re.compile(r'\bdown_(\d+)_attn_(\d+)\b'), r'down.\1.attn.\2'),
+        (re.compile(r'\bdown_(\d+)_downsample\b'), r'down.\1.downsample'),
+        (re.compile(r'\bup_(\d+)_block_(\d+)\b'), r'up.\1.block.\2'),
+        (re.compile(r'\bup_(\d+)_attn_(\d+)\b'), r'up.\1.attn.\2'),
+        (re.compile(r'\bup_(\d+)_upsample\b'), r'up.\1.upsample'),
+        (re.compile(r'\bmid_block_1\b'), 'mid.block_1'),
+        (re.compile(r'\bmid_attn_1\b'), 'mid.attn_1'),
+        (re.compile(r'\bmid_block_2\b'), 'mid.block_2'),
+    ]
+    sd: Dict[str, np.ndarray] = {}
+    for path, w in _flatten(params):
+        if path == ('quantize', 'embedding'):
+            sd[prefix + 'quantize.embedding.weight'] = w
+            continue
+        name = '.'.join(path[:-1])
+        for rx, sub in inv_subs:
+            name = rx.sub(sub, name)
+        leaf = path[-1]
+        if leaf == 'kernel':
+            sd[prefix + name + '.weight'] = np.transpose(w, (3, 2, 0, 1))
+        elif leaf == 'scale':
+            sd[prefix + name + '.weight'] = w
+        else:
+            sd[prefix + name + '.bias'] = w
+    return sd
+
+
+def save_dalle_checkpoint(path: str, *, params, iter: int = 0,
+                          hparams: Dict | None = None, vae_params=None,
+                          cvae_params=None, vae_cfg_params=None):
+    """Write a reference-format dalle.pt ({iter, hparams, vae_params,
+    weights}, utils/utils_train.py:297-305)."""
+    import torch
+    sd = bert_params_to_torch(params, vae_params, cvae_params)
+    torch.save({
+        'iter': iter,
+        'hparams': hparams or {},
+        'vae_params': vae_cfg_params,
+        'weights': {k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in sd.items()},
+    }, path)
+
+
 def to_f32_tree(tree):
     """Cast every leaf to float32 (checkpoints may ship fp16)."""
     import jax
