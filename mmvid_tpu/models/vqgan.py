@@ -251,6 +251,44 @@ class VectorQuantizer(nn.Module):
         return self.embedding[indices]
 
 
+class GumbelQuantize(nn.Module):
+    """Gumbel-softmax quantizer (taming quantize.py:113-227, GumbelVQ
+    variant vqgan.py:378-463): a 1x1 conv projects features to codebook
+    logits; training samples a soft one-hot via gumbel-softmax (straight-
+    through hard sample at eval), with a KL-to-uniform regularizer."""
+    n_embed: int
+    embed_dim: int
+    straight_through: bool = True
+    kl_weight: float = 5e-4
+
+    @nn.compact
+    def __call__(self, z, *, temp: float = 1.0, train: bool = False,
+                 rng=None):
+        logits = nn.Conv(self.n_embed, (1, 1), name='proj')(z)
+        embed = self.param(
+            'embedding',
+            lambda key, shape: jax.random.uniform(
+                key, shape, minval=-1.0 / self.n_embed,
+                maxval=1.0 / self.n_embed),
+            (self.n_embed, self.embed_dim))
+        if train:
+            rng = rng if rng is not None else self.make_rng('gumbel')
+            g = -jnp.log(-jnp.log(
+                jax.random.uniform(rng, logits.shape, minval=1e-20)))
+            soft = jax.nn.softmax((logits + g) / temp, axis=-1)
+        else:
+            soft = jax.nn.one_hot(jnp.argmax(logits, -1), self.n_embed)
+        if self.straight_through and train:
+            hard = jax.nn.one_hot(jnp.argmax(soft, -1), self.n_embed)
+            soft = soft + jax.lax.stop_gradient(hard - soft)
+        z_q = jnp.einsum('bhwn,nd->bhwd', soft, embed)
+        probs = jax.nn.softmax(logits, axis=-1)
+        kl = self.kl_weight * jnp.mean(
+            jnp.sum(probs * jnp.log(probs * self.n_embed + 1e-10), axis=-1))
+        idx = jnp.argmax(soft, axis=-1).astype(jnp.int32)
+        return z_q, kl, idx
+
+
 class VQModel(nn.Module):
     """taming/models/vqgan.py:16-80 (runtime surface only; GAN training
     losses live in mmvid_tpu.models.vqgan_losses)."""

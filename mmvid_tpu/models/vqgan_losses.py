@@ -249,6 +249,44 @@ class VQGanTrainer:
         return d_step
 
 
+class SegmentationVQModel(nn.Module):
+    """Segmentation-mask VQGAN (taming VQSegmentationModel, vqgan.py:233-297):
+    the standard encoder/quantizer/decoder over n_labels channels with a
+    BCE-with-quant loss and a single Adam optimizer — used to train the
+    'cvae' stream for mask/drawing visual controls."""
+    cfg: VQGanConfig
+    n_labels: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        import dataclasses as _dc
+        cfg = _dc.replace(self.cfg, in_channels=self.n_labels,
+                          out_ch=self.n_labels)
+        self.model = VQModel(cfg, dtype=self.dtype)
+
+    def __call__(self, x):
+        return self.model(x)
+
+
+def make_segmentation_train_step(module: SegmentationVQModel, tx,
+                                 codebook_weight: float = 1.0):
+    """(params, opt_state, x_onehot) -> (params, opt_state, metrics)."""
+    import optax as _optax
+
+    def step(params, opt_state, x):
+        def loss_fn(p):
+            xrec, qloss = module.apply({'params': p}, x)
+            loss = bce_loss_with_quant(qloss, x, xrec, codebook_weight)
+            return loss, {'loss': loss, 'qloss': jnp.mean(qloss)}
+
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return _optax.apply_updates(params, updates), opt_state, metrics
+
+    return step
+
+
 def _tree_set(tree, path, value):
     if len(path) == 1:
         return {**tree, path[0]: value}

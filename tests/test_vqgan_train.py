@@ -53,6 +53,40 @@ def test_hinge_loss():
     assert float(hinge_d_loss(-real, -fake)) == 3.0
 
 
+def test_gumbel_quantizer():
+    from mmvid_tpu.models.vqgan import GumbelQuantize
+    q = GumbelQuantize(n_embed=32, embed_dim=16)
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 16))
+    params = q.init({'params': jax.random.PRNGKey(1),
+                     'gumbel': jax.random.PRNGKey(2)}, z, train=True)
+    zq, kl, idx = q.apply(params, z, train=True, temp=1.0,
+                          rngs={'gumbel': jax.random.PRNGKey(3)})
+    assert zq.shape == (2, 4, 4, 16)
+    assert np.isfinite(float(kl))
+    assert idx.shape == (2, 4, 4) and int(idx.max()) < 32
+    # eval path: deterministic argmax
+    zq1, _, idx1 = q.apply(params, z, train=False)
+    zq2, _, idx2 = q.apply(params, z, train=False)
+    np.testing.assert_array_equal(np.asarray(idx1), np.asarray(idx2))
+
+
+def test_segmentation_vqgan_step():
+    import optax
+    from mmvid_tpu.models.vqgan_losses import (
+        SegmentationVQModel,
+        make_segmentation_train_step,
+    )
+    module = SegmentationVQModel(TINY_VQ, n_labels=5)
+    x = jax.nn.one_hot(
+        jax.random.randint(jax.random.PRNGKey(0), (2, 32, 32), 0, 5), 5)
+    params = module.init(jax.random.PRNGKey(1), x)['params']
+    tx = optax.adam(1e-4)
+    step = jax.jit(make_segmentation_train_step(module, tx))
+    opt_state = tx.init(params)
+    params, opt_state, m = step(params, opt_state, x)
+    assert np.isfinite(float(m['loss'])) and float(m['loss']) > 0
+
+
 def test_vqgan_gan_training_steps():
     trainer = VQGanTrainer(TINY_VQ, VQGanLossConfig(learning_rate=1e-4,
                                                     disc_start=0))
