@@ -34,6 +34,7 @@ class ClipStackConfig:
     width: int = 768          # ViT-B/32 visual stack (text stack: 512)
     layers: int = 12
     heads: int = 12
+    remat: bool = False       # jax.checkpoint each block (training memory)
 
     @property
     def head_dim(self) -> int:
@@ -142,18 +143,24 @@ class TransformerStack(nn.Module):
 
     The additive mask is a static [L, L] array applied at every block, as in
     the reference (every resblock gets the same rewritten attn_mask,
-    clip_model.py:545-554).
+    clip_model.py:545-554).  ``remat=True`` rematerializes each block's
+    activations on the backward pass (jax.checkpoint), trading FLOPs for
+    HBM in the 3-forward training step.
     """
     cfg: ClipStackConfig
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
         x = x.astype(self.dtype)
+        block_cls = (nn.remat(ResidualAttentionBlock,
+                              static_argnums=())
+                     if (self.remat or self.cfg.remat)
+                     else ResidualAttentionBlock)
         for i in range(self.cfg.layers):
-            x = ResidualAttentionBlock(self.cfg.width, self.cfg.heads,
-                                       dtype=self.dtype,
-                                       name=f'blocks_{i}')(x, mask)
+            x = block_cls(self.cfg.width, self.cfg.heads,
+                          dtype=self.dtype, name=f'blocks_{i}')(x, mask)
         return x.astype(jnp.float32)
 
 
