@@ -88,6 +88,9 @@ class MultiHeadAttention(nn.Module):
 
         b, l, d = x.shape
         h, hd = self.heads, self.width // self.heads
+        # NB: a manually-fused [D,3D] qkv matmul was measured SLOWER (270 vs
+        # 292 f/s) — the param concat re-materializes inside the sampler's
+        # while_loop; three Dense calls fuse fine under XLA.
         q = nn.Dense(self.width, dtype=self.dtype, name='query')(x)
         k = nn.Dense(self.width, dtype=self.dtype, name='key')(x)
         v = nn.Dense(self.width, dtype=self.dtype, name='value')(x)
