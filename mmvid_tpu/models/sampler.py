@@ -245,3 +245,57 @@ def mask_predict(core, params, control_emb, key, spec: MaskPredictSpec,
     state = jax.lax.while_loop(cond, body, state)
     _, _, _, I_tok, _, _, Imax = state
     return Imax if spec.dynamic else I_tok
+
+
+def mask_predict_trace(core, params, control_emb, key,
+                       spec: MaskPredictSpec, preserve_mask: np.ndarray,
+                       preserve_tokens: Optional[jax.Array] = None):
+    """Like mask_predict but returns every step's tokens [T, B, N] for the
+    PNAG debug visualization (reference debug=True path,
+    dalle_bert.py:635-700 image_samples).  Runs a fixed-length scan (no
+    dynamic stop) with the same update rule."""
+    from mmvid_tpu.models.bert import BertCore
+
+    cfg = core.cfg
+    b = control_emb.shape[0]
+    n_total = cfg.target_seq_len
+    pmask = jnp.asarray(preserve_mask)
+    if preserve_tokens is None:
+        preserve_tokens = jnp.full((b, n_total), cfg.mask_token, jnp.int32)
+    n_sched = jnp.asarray(spec.n_sched, jnp.int32)
+    temp_sched = jnp.asarray(spec.temp_sched, jnp.float32)
+    N = int(n_total - preserve_mask.sum())
+
+    def forward(tokens, remask):
+        tok_in = jnp.where(remask, cfg.mask_token, tokens)
+        target_emb = core.apply({'params': params}, tok_in,
+                                method=BertCore.target_embedding)
+        logits, rel, vid, _ = core.apply({'params': params}, control_emb,
+                                         target_emb,
+                                         method=BertCore.forward_full)
+        return logits, rel, vid
+
+    key, k0 = jax.random.split(key)
+    init_tokens = jnp.where(pmask[None], preserve_tokens, cfg.mask_token)
+    logits, _, _ = forward(init_tokens, ~pmask[None].repeat(b, 0))
+    Y, I_new = _sample_multinomial(k0, logits, temp_sched[0])
+    I_tok = jnp.where(pmask[None], preserve_tokens, I_new)
+    Y = jnp.where(pmask[None], jnp.inf, Y)
+
+    def step(carry, t):
+        Y, I_tok, key = carry
+        key, k1, k2 = jax.random.split(key, 3)
+        k_keep = N - n_sched[t - 1]
+        scores = jnp.log(jnp.maximum(Y, 1e-30)) + _gumbel(k1, Y.shape)
+        scores = jnp.where(pmask[None], jnp.inf, scores)
+        ranks = jnp.argsort(jnp.argsort(-scores, axis=-1), axis=-1)
+        keep = (ranks < (k_keep + int(preserve_mask.sum()))) | pmask[None]
+        logits, _, _ = forward(I_tok, ~keep)
+        Y_new, I_new = _sample_multinomial(k2, logits, temp_sched[t])
+        Y = jnp.where(keep, Y, Y_new)
+        I_tok = jnp.where(keep, I_tok, I_new)
+        return (Y, I_tok, key), I_tok
+
+    (_, final, _), trace = jax.lax.scan(
+        step, (Y, I_tok, key), jnp.arange(1, spec.Tmax))
+    return jnp.concatenate([I_tok[None], trace], axis=0), final

@@ -145,6 +145,20 @@ def test_mask_predict_dynamic_terminates(tiny_core):
     assert toks.shape == (1, 128) and toks.max() < 1024
 
 
+def test_mask_predict_trace(tiny_core):
+    from mmvid_tpu.models.sampler import mask_predict_trace
+    core, params = tiny_core
+    control = _control(core, params, batch=2)
+    pmask, N = preserve_layout(core.cfg, 'long', 1, False)
+    spec = build_spec(DEFAULT_MP_CONFIG, N, steps=4, dynamic=False)
+    trace, final = mask_predict_trace(core, params, control,
+                                      jax.random.PRNGKey(5), spec, pmask)
+    trace = np.asarray(trace)
+    assert trace.shape == (4, 2, 128)  # step 0 + 3 refinement steps
+    np.testing.assert_array_equal(trace[-1], np.asarray(final))
+    assert trace.max() < 1024
+
+
 def test_generate_images_end_to_end():
     vq_cfg = VQGanConfig(resolution=16, ch=32, ch_mult=(1, 2),
                          num_res_blocks=1, z_channels=64, embed_dim=64,
