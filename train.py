@@ -21,7 +21,23 @@ import numpy as np
 def main():
     from mmvid_tpu.config import process_args
     args = process_args(train=True)
+    maybe_init_distributed(args)
     main_worker(args)
+
+
+def maybe_init_distributed(args):
+    """Multi-host TPU pods: one process per host joins the SPMD program
+    (replaces the reference's mp.spawn + NCCL rendezvous,
+    train.py:52-97).  Triggered by --multiprocessing_distributed or the
+    standard TPU pod env; single-host runs skip it."""
+    if getattr(args, 'multiprocessing_distributed', False) or \
+            os.environ.get('MEGASCALE_COORDINATOR_ADDRESS') or \
+            os.environ.get('JAX_COORDINATOR_ADDRESS'):
+        import jax
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # already initialized / single host
+            print(f'jax.distributed.initialize skipped: {e}')
 
 
 def is_root():
