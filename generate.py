@@ -1,0 +1,147 @@
+#!/usr/bin/env python3
+"""Batch generation / serving CLI: prompts in, videos out.
+
+A production-facing entry the reference lacks (its test.py only samples
+from dataset batches): loads a checkpoint once, compiles the full
+generation program once, then streams prompt batches through it.
+
+Usage:
+    python generate.py --dalle_path logs/run/weights/last \
+        --prompts "a person with wavy hair is talking" "a man is smiling" \
+        --out_dir out/ --format gif
+    python generate.py --dalle_path ... --prompt_file prompts.txt --seed 7
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument('--dalle_path', required=True,
+                   help='orbax dir or reference dalle.pt')
+    p.add_argument('--prompts', nargs='*', default=None)
+    p.add_argument('--prompt_file', default=None,
+                   help='one prompt per line')
+    p.add_argument('--out_dir', default='generated')
+    p.add_argument('--format', default='gif', choices=['gif', 'mp4', 'png'])
+    p.add_argument('--batch_size', type=int, default=16)
+    p.add_argument('--mask_predict_steps', type=int, default=0,
+                   help='0 = use mp_T (20)')
+    p.add_argument('--dynamic', action='store_true')
+    p.add_argument('--fps', type=int, default=4)
+    p.add_argument('--seed', type=int, default=42)
+    p.add_argument('--bf16', action='store_true', default=True)
+    # model shape overrides for checkpoints without hparams
+    p.add_argument('--dim', type=int, default=768)
+    p.add_argument('--text_seq_len', type=int, default=50)
+    p.add_argument('--num_targets', type=int, default=8)
+    p.add_argument('--num_visuals', type=int, default=0)
+    p.add_argument('--image_size', type=int, default=128)
+    p.add_argument('--which_transformer', default='openai_clip_visual')
+    p.add_argument('--vae_path', default=None)
+    p.add_argument('--cvae_path', default=None)
+    p.add_argument('--fixed_language_model', default=None)
+    p.add_argument('--text_emb_bottleneck', default=None)
+    p.add_argument('--insert_sep', action='store_true')
+    p.add_argument('--use_separate_visual_emb', action='store_true')
+    p.add_argument('--loss_img_weight', type=int, default=7)
+    p.add_argument('--ar', action='store_true')
+    return p.parse_args(argv)
+
+
+def main(args=None):
+    args = args or parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from mmvid_tpu import factories
+    from mmvid_tpu.models.mmvid import DEFAULT_MP_CONFIG
+    from mmvid_tpu.utils.html import save_gif, save_image_array, save_mp4
+    from mmvid_tpu.utils.html import tile_video_row
+
+    prompts = list(args.prompts or [])
+    if args.prompt_file:
+        prompts += [l.strip() for l in open(args.prompt_file)
+                    if l.strip()]
+    assert prompts, 'no prompts given'
+
+    # checkpoint + hparams
+    hparams = {}
+    vae_params = cvae_params = None
+    if str(args.dalle_path).endswith('.pt'):
+        from mmvid_tpu.utils.torch_compat import load_dalle_checkpoint
+        ckpt = load_dalle_checkpoint(args.dalle_path)
+        params, hparams = ckpt['params'], ckpt.get('hparams') or {}
+        vae_params, cvae_params = ckpt.get('vae'), ckpt.get('cvae')
+    else:
+        from mmvid_tpu.utils.checkpoint import load_checkpoint
+        tree, hparams = load_checkpoint(args.dalle_path)
+        params = tree['params']
+        hparams = hparams or {}
+    for k in ('dim', 'text_seq_len', 'num_targets', 'num_visuals',
+              'which_transformer', 'image_size', 'insert_sep',
+              'use_separate_visual_emb', 'fixed_language_model',
+              'text_emb_bottleneck', 'loss_img_weight', 'ar'):
+        if k in hparams and hparams[k] is not None:
+            setattr(args, k, hparams[k])
+    args.truncate_captions = True
+    args.which_tokenizer = 'simple'
+    args.bpe_path = None
+    args.fp16 = False
+
+    tokenizer = factories.get_tokenizer(args)
+    vae = factories.get_vae_model(args, 'vae', image_size=args.image_size)
+    if vae_params is not None:
+        vae.params = vae_params
+    cvae = None
+    if cvae_params is not None:
+        cvae = factories.get_vae_model(args, 'cvae',
+                                       image_size=args.image_size)
+        cvae.params = cvae_params
+    model = factories.get_dalle(args, vae, cvae)
+    model.params = params
+
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    key = jax.random.PRNGKey(args.seed)
+
+    t0 = time.time()
+    n_done = 0
+    for i in range(0, len(prompts), args.batch_size):
+        chunk = prompts[i:i + args.batch_size]
+        pad = args.batch_size - len(chunk)          # keep shapes static
+        toks = tokenizer.tokenize(chunk + [''] * pad, args.text_seq_len,
+                                  truncate_text=True)
+        key, k = jax.random.split(key)
+        videos, _ = model.generate_images(
+            k, jnp.asarray(toks),
+            mask_predict_steps=args.mask_predict_steps,
+            dynamic=args.dynamic, mp_config=DEFAULT_MP_CONFIG)
+        videos = np.asarray(videos)[:len(chunk)]
+        for j, (prompt, vid) in enumerate(zip(chunk, videos)):
+            stem = f'{i + j:04d}_' + '_'.join(prompt.split()[:6])[:48]
+            if args.format == 'gif':
+                save_gif(str(out_dir / f'{stem}.gif'), vid, args.fps)
+            elif args.format == 'mp4':
+                save_mp4(str(out_dir / f'{stem}.mp4'), vid, args.fps)
+            else:
+                save_image_array(str(out_dir / f'{stem}.png'),
+                                 tile_video_row(vid))
+            with open(out_dir / f'{stem}.txt', 'w') as f:
+                f.write(prompt)
+        n_done += len(chunk)
+        fps = n_done * args.num_targets / (time.time() - t0)
+        print(f'{n_done}/{len(prompts)} prompts '
+              f'({fps:.1f} frames/sec incl. IO)')
+    print(f'wrote {n_done} videos to {out_dir}')
+
+
+if __name__ == '__main__':
+    main()
