@@ -71,6 +71,16 @@ def test_train_driver_end_to_end(data_tree, tmp_path):
     assert 'loss' in line and 'nan' not in line
 
 
+def test_train_driver_artv(data_tree, tmp_path):
+    train_mod = _load('train')
+    args = _train_args(data_tree, tmp_path,
+                       extra=['--ar', '--num_visuals', '1', '--visual'])
+    args.name = 'tiny_ar'
+    train_mod.main_worker(args)
+    log = (tmp_path / 'logs' / 'tiny_ar' / 'log.txt').read_text()
+    assert 'loss' in log and 'nan' not in log
+
+
 def test_test_driver_sampling(data_tree, tmp_path):
     train_mod = _load('train')
     test_mod = _load('test')
