@@ -182,6 +182,21 @@ def main_worker(args):
                 lambda x: x.block_until_ready(), metrics)
             jax.profiler.stop_trace()
 
+        # failure detection (reference has none, SURVEY.md §5): a
+        # non-finite loss aborts with an emergency checkpoint instead of
+        # silently corrupting the run
+        if idx % args.log_every == 0:
+            loss_now = float(metrics['loss'])
+            if not np.isfinite(loss_now):
+                if is_root():
+                    model.params = jax.device_get(state.params)
+                    save_checkpoint(str(log_dir), f'nan_at_{idx}',
+                                    {'step': idx, 'params': model.params},
+                                    hparams=hparams, keep_last=False)
+                raise FloatingPointError(
+                    f'non-finite loss {loss_now} at iter {idx}; emergency '
+                    f'checkpoint written under {log_dir}/weights/')
+
         if is_root() and (idx % args.log_every == 0):
             m = {k: float(v) for k, v in metrics.items()}
             line = (f'iter {idx} loss {m["loss"]:.4f} '
