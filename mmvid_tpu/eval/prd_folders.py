@@ -4,12 +4,10 @@ Reference: precision_recall_distributions/prd_from_image_folders.py:70-141,
 which embeds images with a frozen TF-Slim Inception pool_3 graph.  Here the
 embedder is pluggable:
 
+* ``inception`` — InceptionV3 pool_3 (the reference's embedder; pass a
+  TF-slim checkpoint via --inception_path, see eval/inception.py)
 * ``clip``  — CLIP ViT image encoder (requires --clip_path ViT-B-32.pt)
 * ``pixels`` — downsampled raw pixels (weight-free sanity baseline)
-
-The classic InceptionV3 frozen-graph weights are not redistributable inside
-this repo; when they are available a converter can be added next to
-eval/i3d.py (the PRD math itself is identical regardless of embedder).
 
 Usage:
     python -m mmvid_tpu.eval.prd_folders --reference_dir A --eval_dirs B C \
@@ -42,7 +40,32 @@ def load_images(paths: List[str], size: int = 224) -> np.ndarray:
                      for p in paths])
 
 
-def make_embedder(kind: str, clip_path: str | None = None, batch: int = 32):
+def make_embedder(kind: str, clip_path: str | None = None, batch: int = 32,
+                  inception_path: str | None = None):
+    if kind == 'inception':
+        import jax
+        import jax.numpy as jnp
+        from mmvid_tpu.eval.inception import (
+            InceptionV3,
+            inception_preprocess,
+            load_inception_checkpoint,
+        )
+        model = InceptionV3()
+        if inception_path:
+            variables = load_inception_checkpoint(inception_path)
+        else:
+            variables = model.init(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 299, 299, 3)))
+        fn = jax.jit(lambda v, x: model.apply(v, inception_preprocess(x)))
+
+        def embed(images01: np.ndarray) -> np.ndarray:
+            outs = []
+            for i in range(0, len(images01), batch):
+                outs.append(np.asarray(
+                    fn(variables, jnp.asarray(images01[i:i + batch]))))
+            return np.concatenate(outs)
+
+        return embed
     if kind == 'clip':
         from mmvid_tpu.models.clip_full import load_clip_scorer
         import jax.numpy as jnp
@@ -89,15 +112,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--reference_dir', required=True)
     ap.add_argument('--eval_dirs', nargs='+', required=True)
-    ap.add_argument('--embedder', default='clip',
-                    choices=['clip', 'pixels'])
+    ap.add_argument('--embedder', default='inception',
+                    choices=['inception', 'clip', 'pixels'])
     ap.add_argument('--clip_path', default='ViT-B-32.pt')
+    ap.add_argument('--inception_path', default=None,
+                    help='TF-slim InceptionV3 checkpoint (or .npz)')
     ap.add_argument('--num_clusters', type=int, default=20)
     ap.add_argument('--num_runs', type=int, default=10)
     ap.add_argument('--plot_path', default=None)
     args = ap.parse_args()
 
-    embedder = make_embedder(args.embedder, args.clip_path)
+    embedder = make_embedder(args.embedder, args.clip_path,
+                             inception_path=args.inception_path)
     results = compute_folder_prd(args.reference_dir, args.eval_dirs,
                                  embedder, args.num_clusters, args.num_runs)
     for d, (p, r) in zip(args.eval_dirs, results):
