@@ -174,6 +174,28 @@ def test_generate_images_end_to_end():
     assert float(videos.min()) >= 0.0 and float(videos.max()) <= 1.0
 
 
+def test_interpolation_doubles_frames():
+    """Hierarchical interpolation: each level doubles the frame count and
+    preserves the source frames at even slots."""
+    from mmvid_tpu.utils.viz import generate_interpolated_video
+
+    vq_cfg = VQGanConfig(resolution=16, ch=32, ch_mult=(1, 2),
+                         num_res_blocks=1, z_channels=64, embed_dim=64,
+                         n_embed=1024, attn_resolutions=())
+    vae = VQGanVAE(image_size=16, cfg=vq_cfg)
+    model = MMVIDBert(TINY_CFG, vae)
+    text = jnp.ones((1, 6), jnp.int32)
+
+    source = jnp.asarray(
+        np.random.RandomState(0).randint(0, 1024, (1, 128)), jnp.int32)
+    mp = dict(DEFAULT_MP_CONFIG, T=2)
+    for levels, frames in ((1, 4), (2, 8)):
+        video = generate_interpolated_video(
+            model, jax.random.PRNGKey(1), text, source_tokens=source,
+            levels=levels, mask_predict_steps=2, mp_config=mp)
+        assert video.shape == (1, frames, 16, 16, 3), levels
+
+
 def test_generate_images_long_chunking():
     """Sliding-window extrapolation: second chunk preserves first chunk's
     last frame tokens (utils_train.py:1337-1373 semantics)."""
