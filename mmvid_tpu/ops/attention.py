@@ -54,7 +54,10 @@ def fused_attention(q, k, v, mask, sm_scale=None, interpret=False):
     b, h, l, d = q.shape
     scale = sm_scale if sm_scale is not None else d ** -0.5
 
-    lp = -(-l // 128) * 128
+    # sublane-mult padding only (16 covers bf16); Mosaic handles interior
+    # lane padding of the [lp, lp] mask — profiling showed full 128-mult
+    # padding (565->640) cost ~16% of sampler time in HBM pad/copy traffic
+    lp = -(-l // 16) * 16
     dp = max(128, -(-d // 128) * 128)
 
     if mask is None:
