@@ -68,9 +68,11 @@ class QuickGELU(nn.Module):
         return x * jax.nn.sigmoid(1.702 * x)
 
 
-def _ln(name: str):
-    # fp32 LayerNorm island (clip_model.py:188-193)
-    return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)
+def _ln(name: str, dtype=jnp.float32):
+    # fp32 LayerNorm island by default (clip_model.py:188-193); backbone
+    # blocks may follow the compute dtype (profiling: the fp32
+    # convert+reduce fusions are 39% of sampler time)
+    return nn.LayerNorm(epsilon=1e-5, dtype=dtype, name=name)
 
 
 class MultiHeadAttention(nn.Module):
@@ -133,10 +135,14 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None):
-        h = _ln('ln_1')(x).astype(self.dtype)
+        import os
+        ln_dtype = (self.dtype
+                    if os.environ.get('MMVID_FAST_LN') == '1'
+                    else jnp.float32)
+        h = _ln('ln_1', ln_dtype)(x).astype(self.dtype)
         x = x + MultiHeadAttention(self.width, self.heads, dtype=self.dtype,
                                    name='attn')(h, mask)
-        h = _ln('ln_2')(x).astype(self.dtype)
+        h = _ln('ln_2', ln_dtype)(x).astype(self.dtype)
         x = x + Mlp(self.width, dtype=self.dtype, name='mlp')(h)
         return x
 
