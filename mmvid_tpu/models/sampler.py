@@ -110,12 +110,17 @@ def _gumbel(key, shape, eps=1e-20):
 
 def _sample_multinomial(key, logits, temperature):
     """Gumbel-noised categorical (dalle_bert.py:527-538): returns
-    (Y = prob of chosen token under the noised softmax, tokens)."""
+    (Y = prob of chosen token under the noised softmax, tokens).
+
+    categorical(softmax(noised)) == argmax(noised + G'), and the chosen
+    token's probability is exp(noised_tok - logsumexp(noised)) — avoids
+    materializing the [B, N, 1024] softmax array."""
     k1, k2 = jax.random.split(key)
     noised = logits + temperature * _gumbel(k1, logits.shape)
-    probs = jax.nn.softmax(noised, axis=-1)
-    tok = jax.random.categorical(k2, noised, axis=-1)
-    y = jnp.take_along_axis(probs, tok[..., None], axis=-1)[..., 0]
+    tok = jnp.argmax(noised + _gumbel(k2, noised.shape), axis=-1)
+    lse = jax.scipy.special.logsumexp(noised, axis=-1)
+    chosen = jnp.take_along_axis(noised, tok[..., None], axis=-1)[..., 0]
+    y = jnp.exp(chosen - lse)
     return y, tok.astype(jnp.int32)
 
 
