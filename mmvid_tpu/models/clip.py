@@ -75,6 +75,60 @@ def _ln(name: str, dtype=jnp.float32):
     return nn.LayerNorm(epsilon=1e-5, dtype=dtype, name=name)
 
 
+class _LinearParams(nn.Module):
+    """Holds a Dense layer's kernel/bias without applying it (same param
+    tree as nn.Dense, for kernels that consume raw weights)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _LNParams(nn.Module):
+    """Holds LayerNorm scale/bias (same tree as nn.LayerNorm)."""
+
+    @nn.compact
+    def __call__(self, dim):
+        scale = self.param('scale', nn.initializers.ones, (dim,))
+        bias = self.param('bias', nn.initializers.zeros, (dim,))
+        return scale, bias
+
+
+class FusedLnAttention(nn.Module):
+    """ln_1 + QKV fused in one Pallas kernel, attention in another; the
+    param tree matches _ln('ln_1') + MultiHeadAttention exactly."""
+    width: int
+    heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ln_scale, ln_bias, mask=None):
+        from mmvid_tpu.ops.attention import fused_attention
+        from mmvid_tpu.ops.fused_ln_qkv import fused_ln_qkv
+
+        b, l, d = x.shape
+        h, hd = self.heads, self.width // self.heads
+        wq, bq = _LinearParams(self.width, name='query')(x)
+        wk, bk = _LinearParams(self.width, name='key')(x)
+        wv, bv = _LinearParams(self.width, name='value')(x)
+        dt = self.dtype
+        q, k, v = fused_ln_qkv(
+            x.astype(dt), ln_scale, ln_bias,
+            wq.astype(dt), bq.astype(dt), wk.astype(dt), bk.astype(dt),
+            wv.astype(dt), bv.astype(dt))
+        q = q.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
+        out = fused_attention(q, k, v,
+                              mask[:l, :l] if mask is not None else None)
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, d).astype(dt)
+        return nn.Dense(self.width, dtype=dt, name='out')(out)
+
+
 class MultiHeadAttention(nn.Module):
     """Parity with torch nn.MultiheadAttention self-attention.
 
@@ -136,13 +190,24 @@ class ResidualAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None):
         import os
-        ln_dtype = (self.dtype
-                    if os.environ.get('MMVID_FAST_LN') == '1'
-                    else jnp.float32)
-        h = _ln('ln_1', ln_dtype)(x).astype(self.dtype)
-        x = x + MultiHeadAttention(self.width, self.heads, dtype=self.dtype,
-                                   name='attn')(h, mask)
-        h = _ln('ln_2', ln_dtype)(x).astype(self.dtype)
+        if (os.environ.get('MMVID_FUSED_LNQKV') == '1'
+                and self.width % 128 == 0):
+            # ln_1 statistics computed inside the QKV kernel; param tree
+            # identical to the unfused path
+            ln_scale, ln_bias = _LNParams(name='ln_1')(self.width)
+            x = x + FusedLnAttention(self.width, self.heads,
+                                     dtype=self.dtype,
+                                     name='attn')(x, ln_scale, ln_bias,
+                                                  mask)
+        else:
+            ln_dtype = (self.dtype
+                        if os.environ.get('MMVID_FAST_LN') == '1'
+                        else jnp.float32)
+            h = _ln('ln_1', ln_dtype)(x).astype(self.dtype)
+            x = x + MultiHeadAttention(self.width, self.heads,
+                                       dtype=self.dtype,
+                                       name='attn')(h, mask)
+        h = _ln('ln_2')(x).astype(self.dtype)
         x = x + Mlp(self.width, dtype=self.dtype, name='mlp')(h)
         return x
 
