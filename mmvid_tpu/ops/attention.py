@@ -15,6 +15,7 @@ mmvid_tpu.models.clip.MultiHeadAttention when MMVID_PALLAS_ATTN=1.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -58,7 +59,8 @@ def fused_attention(q, k, v, mask, sm_scale=None, interpret=False):
     # lane padding of the [lp, lp] mask — profiling showed full 128-mult
     # padding (565->640) cost ~16% of sampler time in HBM pad/copy traffic
     lp = -(-l // 16) * 16
-    dp = max(128, -(-d // 128) * 128)
+    dp = max(d, 128) if os.environ.get('MMVID_ATTN_PAD_D', '1') == '1' \
+        else d
 
     if mask is None:
         mask = jnp.zeros((l, l), jnp.float32)

@@ -71,9 +71,18 @@ def visualize_train(model, batch: Dict, key, out_dir: str, iteration: int,
         rows.append(np.asarray(videos))
 
     if counterfactual and visual is not None:
+        # counterfactual: the NEIGHBOUR sample's control
         key, k = jax.random.split(key)
         videos, _ = model.generate_images(
             k, text, visual=jnp.roll(visual, 1, axis=0), vc_mode=vc_mode,
+            mask_predict_steps=mask_predict_steps1, dynamic=True,
+            mp_config=mp_config)
+        rows.append(np.asarray(videos))
+        # free-form: no visual control at all (fully-masked visual row,
+        # reference visualize_test's "free" samples)
+        key, k = jax.random.split(key)
+        videos, _ = model.generate_images(
+            k, text, visual=None,
             mask_predict_steps=mask_predict_steps1, dynamic=True,
             mp_config=mp_config)
         rows.append(np.asarray(videos))
