@@ -107,7 +107,7 @@ class FusedLnAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, ln_scale, ln_bias, mask=None):
-        from mmvid_tpu.ops.attention import fused_attention
+        from mmvid_tpu.ops.attention import fused_attention_blhd
         from mmvid_tpu.ops.fused_ln_qkv import fused_ln_qkv
 
         b, l, d = x.shape
@@ -120,12 +120,11 @@ class FusedLnAttention(nn.Module):
             x.astype(dt), ln_scale, ln_bias,
             wq.astype(dt), bq.astype(dt), wk.astype(dt), bk.astype(dt),
             wv.astype(dt), bv.astype(dt))
-        q = q.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
-        out = fused_attention(q, k, v,
-                              mask[:l, :l] if mask is not None else None)
-        out = out.transpose(0, 2, 1, 3).reshape(b, l, d).astype(dt)
+        out = fused_attention_blhd(
+            q.reshape(b, l, h, hd), k.reshape(b, l, h, hd),
+            v.reshape(b, l, h, hd),
+            mask[:l, :l] if mask is not None else None)
+        out = out.reshape(b, l, d).astype(dt)
         return nn.Dense(self.width, dtype=dt, name='out')(out)
 
 
@@ -150,15 +149,19 @@ class MultiHeadAttention(nn.Module):
         q = nn.Dense(self.width, dtype=self.dtype, name='query')(x)
         k = nn.Dense(self.width, dtype=self.dtype, name='key')(x)
         v = nn.Dense(self.width, dtype=self.dtype, name='value')(x)
-        q = q.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
         if os.environ.get('MMVID_PALLAS_ATTN') == '1':
-            from mmvid_tpu.ops.attention import fused_attention
-            out = fused_attention(q, k, v,
-                                  mask[:l, :l] if mask is not None
-                                  else None)
+            # layout-preserving kernel: stays in [B, L, H, D] so no
+            # transposed-layout tensor ever reaches the residual stream
+            from mmvid_tpu.ops.attention import fused_attention_blhd
+            out = fused_attention_blhd(
+                q.reshape(b, l, h, hd), k.reshape(b, l, h, hd),
+                v.reshape(b, l, h, hd),
+                mask[:l, :l] if mask is not None else None)
+            out = out.reshape(b, l, d).astype(self.dtype)
         else:
+            q = q.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
+            k = k.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
+            v = v.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
             logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
                                 preferred_element_type=jnp.float32)
             logits = logits * (hd ** -0.5)
@@ -167,7 +170,8 @@ class MultiHeadAttention(nn.Module):
             attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
             out = jnp.einsum('bhqk,bhkd->bhqd', attn, v,
                              preferred_element_type=jnp.float32)
-        out = out.transpose(0, 2, 1, 3).reshape(b, l, d).astype(self.dtype)
+            out = out.transpose(0, 2, 1, 3).reshape(b, l, d).astype(
+                self.dtype)
         return nn.Dense(self.width, dtype=self.dtype, name='out')(out)
 
 

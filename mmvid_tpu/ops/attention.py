@@ -23,19 +23,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
-    q = q_ref[0].astype(jnp.float32)          # [L, D]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    logits = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)    # [L, L]
-    logits = logits + mask_ref[:]
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    out = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
-    o_ref[0] = out.astype(o_ref.dtype)
+def _make_packed_kernel(d: int, hpb: int):
+    """Kernel over a [L, hpb*d] block: hpb heads packed side by side so the
+    block's lane width is a 128 multiple while the array keeps the
+    residual-stream [B, L, H*D] layout."""
+
+    def kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
+        for i in range(hpb):
+            sl = slice(i * d, (i + 1) * d)
+            q = q_ref[0, :, sl].astype(jnp.float32)   # [L, D]
+            k = k_ref[0, :, sl].astype(jnp.float32)
+            v = v_ref[0, :, sl].astype(jnp.float32)
+            logits = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)    # [L, L]
+            logits = logits + mask_ref[:]
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            out = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
+            o_ref[0, :, sl] = out.astype(o_ref.dtype)
+
+    return kernel
 
 
 def _pad_to(x, size, axis):
@@ -48,19 +57,23 @@ def _pad_to(x, size, axis):
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
-def fused_attention(q, k, v, mask, sm_scale=None, interpret=False):
-    """q,k,v [B,H,L,D]; additive mask [L,L] (or None) -> [B,H,L,D] fp32.
+def fused_attention_blhd(q, k, v, mask, sm_scale=None, interpret=False):
+    """q,k,v [B,L,H,D]; additive mask [L,L] (or None) -> [B,L,H,D].
 
-    Scaling uses D**-0.5 of the TRUE head dim (before lane padding)."""
-    b, h, l, d = q.shape
+    Layout-preserving: inputs and outputs stay in the residual stream's
+    [B, L, H*D] ordering, so the surrounding reshape is free — profiling
+    showed the post-attention transpose forced a strided-layout LayerNorm
+    worth 26% of sampler device time.  Scaling uses the TRUE head dim."""
+    b, l, h, d = q.shape
     scale = sm_scale if sm_scale is not None else d ** -0.5
 
-    # sublane-mult padding only (16 covers bf16); Mosaic handles interior
-    # lane padding of the [lp, lp] mask — profiling showed full 128-mult
-    # padding (565->640) cost ~16% of sampler time in HBM pad/copy traffic
+    # heads packed to a 128-lane block width (2 heads at d=64)
+    hpb = max(1, 128 // d) if 128 % d == 0 else 1
+    if h % hpb != 0:
+        hpb = 1
+    # sublane-mult padding only (16 covers bf16); Mosaic pads lanes
+    # internally
     lp = -(-l // 16) * 16
-    dp = max(d, 128) if os.environ.get('MMVID_ATTN_PAD_D', '1') == '1' \
-        else d
 
     if mask is None:
         mask = jnp.zeros((l, l), jnp.float32)
@@ -68,29 +81,33 @@ def fused_attention(q, k, v, mask, sm_scale=None, interpret=False):
     mask_p = mask_p.at[:l, :l].set(mask)
 
     def prep(x):
-        x = _pad_to(_pad_to(x, lp, 2), dp, 3)
-        return x.reshape(b * h, lp, dp)
+        return _pad_to(x, lp, 1).reshape(b, lp, h * d)
 
     qp = prep(q * scale)
     kp = prep(k)
     vp = prep(v)
 
+    spec = pl.BlockSpec((1, lp, hpb * d), lambda bi, hi: (bi, 0, hi),
+                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _attn_kernel,
-        grid=(b * h,),
-        in_specs=[
-            pl.BlockSpec((1, lp, dp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lp, dp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lp, dp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((lp, lp), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, lp, dp), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, lp, dp), jnp.float32),
+        _make_packed_kernel(d, hpb),
+        grid=(b, h // hpb),
+        in_specs=[spec, spec, spec,
+                  pl.BlockSpec((lp, lp), lambda bi, hi: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, lp, h * d), q.dtype),
         interpret=interpret,
     )(qp, kp, vp, mask_p)
-    return out.reshape(b, h, lp, dp)[:, :, :l, :d]
+    return out[:, :l].reshape(b, l, h, d)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def fused_attention(q, k, v, mask, sm_scale=None, interpret=False):
+    """q,k,v [B,H,L,D] -> [B,H,L,D] (compat wrapper over the layout-
+    preserving kernel)."""
+    out = fused_attention_blhd(q.transpose(0, 2, 1, 3),
+                               k.transpose(0, 2, 1, 3),
+                               v.transpose(0, 2, 1, 3), mask, sm_scale,
+                               interpret=interpret)
+    return out.transpose(0, 2, 1, 3)

@@ -57,17 +57,16 @@ def test_transformer_stack_with_pallas_attention():
     try:
         # CPU has no mosaic: route through interpret by monkeypatching
         import mmvid_tpu.ops.attention as attn_mod
-        orig = attn_mod.fused_attention
+        orig = attn_mod.fused_attention_blhd
 
         def interp(q, k, v, m, sm_scale=None):
             return orig(q, k, v, m, sm_scale, interpret=True)
 
-        import mmvid_tpu.models.clip as clip_mod
         # the module imports inside __call__; patch at source module
-        attn_mod.fused_attention = interp
+        attn_mod.fused_attention_blhd = interp
         out = stack.apply({'params': params}, x, mask)
     finally:
-        attn_mod.fused_attention = orig
+        attn_mod.fused_attention_blhd = orig
         del os.environ['MMVID_PALLAS_ATTN']
     np.testing.assert_allclose(np.asarray(out), np.asarray(base),
                                rtol=2e-5, atol=2e-5)

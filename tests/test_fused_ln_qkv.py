@@ -50,8 +50,8 @@ def test_stack_with_fused_lnqkv_matches_unfused():
     # interpret-mode routing for CPU
     import mmvid_tpu.ops.attention as attn_mod
     import mmvid_tpu.ops.fused_ln_qkv as lq_mod
-    orig_a, orig_q = attn_mod.fused_attention, lq_mod.fused_ln_qkv
-    attn_mod.fused_attention = (
+    orig_a, orig_q = attn_mod.fused_attention_blhd, lq_mod.fused_ln_qkv
+    attn_mod.fused_attention_blhd = (
         lambda q, k, v, m, sm_scale=None: orig_a(q, k, v, m, sm_scale,
                                                  interpret=True))
     lq_mod.fused_ln_qkv = (
@@ -65,7 +65,7 @@ def test_stack_with_fused_lnqkv_matches_unfused():
             jax.tree_util.tree_structure(params2)
         out = stack.apply({'params': params}, x, mask)
     finally:
-        attn_mod.fused_attention = orig_a
+        attn_mod.fused_attention_blhd = orig_a
         lq_mod.fused_ln_qkv = orig_q
         del os.environ['MMVID_FUSED_LNQKV']
         del os.environ['MMVID_PALLAS_ATTN']
