@@ -108,6 +108,34 @@ def test_test_driver_sampling(data_tree, tmp_path):
     assert (log_dir / 'web' / 'index.html').exists()
 
 
+def test_test_driver_artv_sampling(data_tree, tmp_path):
+    """--ar end to end: train 3 iters, then KV-cached sampling grids."""
+    train_mod = _load('train')
+    test_mod = _load('test')
+    from mmvid_tpu.config import process_args
+
+    args = _train_args(data_tree, tmp_path,
+                       extra=['--ar', '--num_visuals', '1', '--visual'])
+    args.name = 'tiny_ar2'
+    train_mod.main_worker(args)
+
+    argv = [
+        '--image_text_folder', str(data_tree),
+        '--dataset', 'video_text',
+        '--name', 'tiny_ar2', '--log_root', str(tmp_path / 'logs'),
+        '--batch_size', '2', '--ar', '--visual', '--num_visuals', '1',
+        '--which_transformer', 'custom:64:2:2', '--dim', '64',
+        '--text_seq_len', '12', '--num_targets', '2',
+        '--frame_num', '2', '--frame_step', '2', '--image_size', '32',
+        '--n_per_sample', '1', '--num_workers', '2',
+    ]
+    targs = process_args(train=False, argv=argv)
+    test_mod.main_worker(targs)
+    samples = list((tmp_path / 'logs' / 'tiny_ar2' / 'samples'
+                    ).glob('*.png'))
+    assert samples, 'no ARTV sample grids written'
+
+
 def test_test_driver_long_mode(data_tree, tmp_path):
     train_mod = _load('train')
     test_mod = _load('test')
