@@ -29,11 +29,23 @@ def save_gif(path: str, frames: np.ndarray, fps: int = 4):
 
 
 def save_mp4(path: str, frames: np.ndarray, fps: int = 4):
-    import imageio
-    writer = imageio.get_writer(path, fps=fps)
-    for f in frames:
-        writer.append_data((np.clip(f, 0, 1) * 255).astype(np.uint8))
-    writer.close()
+    try:
+        import imageio
+        writer = imageio.get_writer(path, fps=fps)
+        for f in frames:
+            writer.append_data((np.clip(f, 0, 1) * 255).astype(np.uint8))
+        writer.close()
+    except (ImportError, ValueError):
+        # no imageio ffmpeg backend: fall back to OpenCV's writer
+        import cv2
+        h, w = frames.shape[1:3]
+        out = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*'mp4v'),
+                              fps, (w, h))
+        for f in frames:
+            bgr = cv2.cvtColor((np.clip(f, 0, 1) * 255).astype(np.uint8),
+                               cv2.COLOR_RGB2BGR)
+            out.write(bgr)
+        out.release()
 
 
 def tile_video_row(frames: np.ndarray) -> np.ndarray:
