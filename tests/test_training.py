@@ -102,6 +102,27 @@ def test_dryrun_multichip_8():
     dryrun_multichip(8)
 
 
+def test_dryrun_multichip_subprocess_hostile_env():
+    """The round-1 driver failure mode: dryrun_multichip is invoked in a
+    fresh process WITHOUT the conftest platform pinning (and with an env
+    that may point at a real 1-chip TPU).  The hook must self-pin the
+    virtual CPU platform before any jax usage."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    # Simulate the driver: no virtual-device flags, ambient platform unset.
+    env.pop('XLA_FLAGS', None)
+    env.pop('JAX_PLATFORMS', None)
+    out = subprocess.run(
+        [sys.executable, '-c',
+         'from __graft_entry__ import dryrun_multichip;'
+         'dryrun_multichip(8)'],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert 'dryrun_multichip(8)' in out.stdout
+
+
 def test_checkpoint_roundtrip(tiny_model, tmp_path):
     from mmvid_tpu.utils.checkpoint import (
         latest_checkpoint,
