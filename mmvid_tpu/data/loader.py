@@ -58,7 +58,13 @@ class DataLoader:
         if self.shuffle:
             rng = random.Random(self.seed + self.epoch)
             rng.shuffle(idx)
-        # per-host shard (DistributedSampler equivalent)
+        # per-host shard (DistributedSampler equivalent); pad with
+        # wrap-around so every host sees the SAME number of indices —
+        # unequal shards would desync the hosts' collective step loops
+        # (torch DistributedSampler does the same total_size padding)
+        if self.process_count > 1:
+            total = -(-n // self.process_count) * self.process_count
+            idx = idx + idx[:total - n]
         return idx[self.process_index::self.process_count]
 
     def __len__(self):

@@ -91,7 +91,7 @@ class MMVIDBert:
         if visual.ndim >= 4 and visual.dtype in (jnp.float32, jnp.bfloat16,
                                                  jnp.float16):
             if visual_aug_mode == 'motion_color':
-                k1, k2, key = (*jax.random.split(key, 2), key)
+                k1, k2, key = jax.random.split(key, 3)
                 do = jax.random.uniform(k1) < 0.9
                 shifted = visual.at[:, 1:].set(
                     warp_video_with_color(k2, visual[:, 1:]))
@@ -127,9 +127,14 @@ class MMVIDBert:
              vid_strategy_prob=(0.25, 0.25, 0.25, 0.25), pc_prob=0.0,
              erase_visual=False, erase_visual_half=False, vc_mode=None,
              face_mode=None, visual_aug_mode=None, negvc=False,
-             visual_neg=None, text_neg=None):
+             visual_neg=None, text_neg=None, visual_drop=None):
         """Returns (loss_msm, loss_rel, loss_vid).  target: frames
-        [B,T,H,W,3] in [0,1] or pre-tokenized [B, target_seq_len]."""
+        [B,T,H,W,3] in [0,1] or pre-tokenized [B, target_seq_len].
+
+        visual_drop: optional traced scalar bool — when True the visual
+        control is replaced by a fully-[MASK] row, the jit-safe equivalent
+        of the reference's visual=None dropout_vc path (train.py:300-302,
+        dalle_bert.py:954-958)."""
         cfg = self.cfg
         k_vis, k_mask, k_warp = jax.random.split(key, 3)
 
@@ -140,6 +145,10 @@ class MMVIDBert:
                     k_vis, visual, erase_visual=erase_visual,
                     erase_visual_half=erase_visual_half, vc_mode=vc_mode,
                     face_mode=face_mode, visual_aug_mode=visual_aug_mode)
+                if visual_drop is not None:
+                    visual_tokens = jnp.where(
+                        visual_drop, self.fully_masked_visual(b),
+                        visual_tokens)
             else:
                 visual_tokens = self.fully_masked_visual(b)
         else:

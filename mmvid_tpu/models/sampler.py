@@ -210,9 +210,12 @@ def mask_predict(core, params, control_emb, key, spec: MaskPredictSpec,
         t, _, _, _, _, tmax, _ = state
         if not spec.dynamic:
             return t < spec.Tmax
+        # Reference dalle_bert.py:701-707 EXECUTES step t and breaks after
+        # when t - tmax >= 5, so step t runs iff t - tmax <= patience
+        # (one more improvement attempt per stall than a strict <).
         return jnp.logical_and(
             t < spec.Tmax,
-            jnp.any(t - tmax < spec.patience))
+            jnp.any(t - tmax <= spec.patience))
 
     def body(state):
         t, key, Y, I_tok, Smax, tmax, Imax = state
@@ -232,7 +235,7 @@ def mask_predict(core, params, control_emb, key, spec: MaskPredictSpec,
             Y_best = Y_all[jbest, bidx]
             I_best = I_all[jbest, bidx]
 
-        active = (t - tmax) < spec.patience if spec.dynamic else \
+        active = (t - tmax) <= spec.patience if spec.dynamic else \
             jnp.ones((b,), bool)
         # frozen lanes keep their state
         Y = jnp.where(active[:, None], Y_best, Y)

@@ -38,9 +38,11 @@ class TrainConfig:
     learning_rate: float = 1e-4
     optimizer: str = 'adam'           # adam | adamw
     lr_scheduler: str = 'warmuplr'    # warmuplr | warmupdecaylr | steplr |
-    #                                   cosineannealinglr | none
+    #                                   cosineannealinglr | reducelronplateau
+    #                                   | none
     lr_scheduler_warmup: int = 5000
     lr_scheduler_step_size: int = 10000
+    lr_scheduler_every: int = 1       # plateau check cadence (ref train.py:373)
     total_steps: int = 200000
     weight_decay: float = 0.0
     clip_grad_norm: float = 1.0
@@ -87,7 +89,13 @@ def make_lr_schedule(tc: TrainConfig):
                                        staircase=True)
     if tc.lr_scheduler == 'cosineannealinglr':
         return optax.cosine_decay_schedule(base, tc.lr_scheduler_step_size)
-    return optax.constant_schedule(base)
+    if tc.lr_scheduler in ('reducelronplateau', 'none'):
+        # reducelronplateau: constant base LR; the plateau reduction is a
+        # multiplicative update scale appended in make_optimizer.
+        return optax.constant_schedule(base)
+    raise ValueError(f'unknown lr_scheduler {tc.lr_scheduler!r}; expected '
+                     'warmuplr|warmupdecaylr|steplr|cosineannealinglr|'
+                     'reducelronplateau|none')
 
 
 def make_optimizer(tc: TrainConfig):
@@ -95,9 +103,29 @@ def make_optimizer(tc: TrainConfig):
     if tc.optimizer == 'adamw':
         opt = optax.adamw(sched, b1=0.9, b2=0.95,
                           weight_decay=tc.weight_decay)
+    elif tc.weight_decay > 0:
+        # torch.optim.Adam(weight_decay=x) is L2 regularization: wd*param is
+        # added to the GRADIENT before the Adam moments (after grad clip) —
+        # not decoupled decay (utils/utils_train.py:167-182).
+        opt = optax.chain(optax.add_decayed_weights(tc.weight_decay),
+                          optax.adam(sched))
     else:
         opt = optax.adam(sched)
-    return optax.chain(optax.clip_by_global_norm(tc.clip_grad_norm), opt)
+    parts = [optax.clip_by_global_norm(tc.clip_grad_norm), opt]
+    if tc.lr_scheduler == 'reducelronplateau':
+        # torch ReduceLROnPlateau(mode=min, factor=.5, patience=2,
+        # cooldown=5, min_lr=1e-6, threshold=1e-4 rel)
+        # (utils/utils_train.py:314-335), stepped with the current loss
+        # every lr_scheduler_every iters (train.py:373-374) -> optax
+        # reduce_on_plateau with the cadence as accumulation_size (it
+        # averages the losses inside each window, then plateau-checks once).
+        parts.append(optax.contrib.reduce_on_plateau(
+            factor=0.5, patience=2, cooldown=5, rtol=1e-4,
+            accumulation_size=max(tc.lr_scheduler_every, 1),
+            min_scale=1e-6 / tc.learning_rate))
+    # with_extra_args_support: the train step always passes value=loss; the
+    # non-plateau transforms ignore it.
+    return optax.with_extra_args_support(optax.chain(*parts))
 
 
 class TrainState(struct.PyTreeNode):
@@ -131,15 +159,17 @@ def make_train_step(model: MMVIDBert, tc: TrainConfig):
     def loss_fn(params, batch, key):
         k_vc, key = jax.random.split(key)
         visual = batch.get('visual')
-        if visual is not None and tc.dropout_vc > 0:
-            # zero the visual control with prob dropout_vc per sample
-            # (reference loader-level dropout_vc)
-            drop = jax.random.bernoulli(k_vc, tc.dropout_vc,
-                                        (visual.shape[0],))
-            expand = (slice(None),) + (None,) * (visual.ndim - 1)
-            visual = jnp.where(drop[expand], jnp.zeros_like(visual), visual)
+        visual_drop = None
+        if visual is not None and tc.dropout_vc > 0 and not tc.fullvc:
+            # Reference train.py:300-302: ONE draw per step passes
+            # visual=None with prob dropout_vc (fullvc disables the drop);
+            # visual=None means a fully-[MASK] visual token row
+            # (dalle_bert.py:954-958), substituted post-tokenization in
+            # model.loss so shapes stay static under jit.
+            visual_drop = jax.random.bernoulli(k_vc, tc.dropout_vc)
         msm, rel, vid = model.loss(
             params, key, text=batch['text'], visual=visual,
+            visual_drop=visual_drop,
             target=batch['target'], rel=tc.rel, vid=tc.vid,
             msm_strategy_prob=tc.msm_strategy_prob,
             msm_bernoulli_prob=tc.msm_bernoulli_prob,
@@ -156,7 +186,8 @@ def make_train_step(model: MMVIDBert, tc: TrainConfig):
     def train_step(state: TrainState, batch, key):
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch, key)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params,
+                                       value=metrics['loss'])
         params = optax.apply_updates(state.params, updates)
         metrics['grad_norm'] = optax.global_norm(grads)
         return state.replace(step=state.step + 1, params=params,
@@ -188,8 +219,19 @@ def jit_train_step(model: MMVIDBert, tc: TrainConfig, mesh=None,
 
     def run(state, batch, key):
         bs = batch_sharding(mesh)
-        batch = {k: jax.device_put(v, bs) for k, v in batch.items()
-                 if v is not None}
+
+        def put(v):
+            if jax.process_count() > 1:
+                # Each host holds only its local batch slice; assemble the
+                # global dp-sharded array from the process-local shards
+                # (a plain device_put of host-local data onto a global-mesh
+                # sharding is undefined under GSPMD).
+                import numpy as np
+                return jax.make_array_from_process_local_data(
+                    bs, np.asarray(v))
+            return jax.device_put(v, bs)
+
+        batch = {k: put(v) for k, v in batch.items() if v is not None}
         return jitted(state, batch, key)
 
     run.shard_state = shard_state

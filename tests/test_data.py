@@ -126,12 +126,16 @@ def test_dataloader_sharding(vox_tree, tok):
     assert batch['target'].shape == (2, 4, 32, 32, 3)
     assert batch['text'].shape == (2, 20)
 
-    # two hosts see disjoint shards
+    # two hosts: EQUAL-length shards (wrap-around padded like torch
+    # DistributedSampler — unequal shards would desync the SPMD loop),
+    # together covering every sample
     dl0 = DataLoader(ds, batch_size=1, shuffle=False, process_index=0,
                      process_count=2)
     dl1 = DataLoader(ds, batch_size=1, shuffle=False, process_index=1,
                      process_count=2)
-    assert set(dl0._indices()).isdisjoint(dl1._indices())
+    i0, i1 = dl0._indices(), dl1._indices()
+    assert len(i0) == len(i1)
+    assert set(i0) | set(i1) == set(range(len(ds)))
 
     it = infinite_batches(DataLoader(ds, batch_size=2, num_workers=2))
     for _ in range(4):  # crosses an epoch boundary (3 samples, batch 2)

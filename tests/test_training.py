@@ -60,6 +60,132 @@ def test_full_loss_with_vid_warp(tiny_model):
     assert float(vid) > 0.0  # VID branch actually ran
 
 
+@pytest.fixture(scope='module')
+def tiny_visual_model():
+    vq_cfg = VQGanConfig(resolution=16, ch=32, ch_mult=(1, 2),
+                         num_res_blocks=1, z_channels=64, embed_dim=64,
+                         n_embed=1024, attn_resolutions=())
+    vae = VQGanVAE(image_size=16, cfg=vq_cfg)
+    cfg = BertConfig(dim=64, num_text_tokens=100, text_seq_len=8,
+                     num_visuals=1, num_targets=2, num_image_tokens=1024,
+                     image_fmap_size=8, image_size=16,
+                     clip=ClipStackConfig(width=64, layers=2, heads=2))
+    return MMVIDBert(cfg, vae)
+
+
+def test_dropout_vc_substitutes_fully_masked_visual(tiny_visual_model):
+    """dropout_vc must reproduce the reference's visual=None path (fully
+    [MASK] visual tokens, dalle_bert.py:954-958), not zeroed pixels; and
+    fullvc must disable the drop entirely (reference train.py:300-302)."""
+    model = tiny_visual_model
+    rng = np.random.RandomState(1)
+    b = 2
+    batch = {
+        'text': jnp.asarray(rng.randint(1, 100, (b, 8)), jnp.int32),
+        'target': jnp.asarray(rng.uniform(0, 1, (b, 2, 16, 16, 3)),
+                              jnp.float32),
+        'visual': jnp.asarray(rng.uniform(0, 1, (b, 1, 16, 16, 3)),
+                              jnp.float32),
+    }
+    key = jax.random.PRNGKey(7)
+
+    # dropped visual == visual=None path, loss-for-loss
+    dropped = model.loss(model.params, key, text=batch['text'],
+                         visual=batch['visual'],
+                         visual_drop=jnp.bool_(True),
+                         target=batch['target'], rel=True, vid=False)
+    none_path = model.loss(model.params, key, text=batch['text'],
+                           visual=None, target=batch['target'],
+                           rel=True, vid=False)
+    for a, c in zip(dropped, none_path):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-5)
+
+    # not-dropped == plain visual path
+    kept = model.loss(model.params, key, text=batch['text'],
+                      visual=batch['visual'],
+                      visual_drop=jnp.bool_(False),
+                      target=batch['target'], rel=True, vid=False)
+    plain = model.loss(model.params, key, text=batch['text'],
+                       visual=batch['visual'], target=batch['target'],
+                       rel=True, vid=False)
+    for a, c in zip(kept, plain):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-5)
+    assert abs(float(dropped[0]) - float(kept[0])) > 1e-6
+
+    # fullvc=True: the train step never draws a drop
+    from mmvid_tpu.training import make_train_step
+    tc = TrainConfig(dropout_vc=1.0, fullvc=True, beta_rel=0.5,
+                     beta_vid=0.0, lr_scheduler_warmup=2)
+    step = jax.jit(make_train_step(model, tc))
+    state = create_train_state(model, tc)
+    _, m_full = step(state, batch, jax.random.PRNGKey(3))
+    tc_drop = TrainConfig(dropout_vc=1.0, fullvc=False, beta_rel=0.5,
+                          beta_vid=0.0, lr_scheduler_warmup=2)
+    step_d = jax.jit(make_train_step(model, tc_drop))
+    state_d = create_train_state(model, tc_drop)
+    _, m_drop = step_d(state_d, batch, jax.random.PRNGKey(3))
+    assert abs(float(m_full['loss']) - float(m_drop['loss'])) > 1e-6, \
+        'dropout_vc=1.0 with fullvc must behave differently from without'
+
+
+def test_adam_weight_decay_is_l2(tiny_model):
+    """--optimizer adam --weight_decay x must decay params (torch Adam L2,
+    utils/utils_train.py:167-182), not be silently dropped."""
+    from mmvid_tpu.training import make_optimizer
+    tc0 = TrainConfig(optimizer='adam', weight_decay=0.0,
+                      lr_scheduler='none')
+    tc1 = TrainConfig(optimizer='adam', weight_decay=0.1,
+                      lr_scheduler='none')
+    params = {'w': jnp.ones((4,)) * 2.0}
+    grads = {'w': jnp.ones((4,)) * -0.01}
+    import optax
+
+    def one_update(tc):
+        tx = make_optimizer(tc)
+        st = tx.init(params)
+        upd, _ = tx.update(grads, st, params, value=jnp.float32(1.0))
+        return optax.apply_updates(params, upd)
+
+    no_decay = one_update(tc0)
+    with_decay = one_update(tc1)
+    # L2 term (wd*param = 0.2 >> |grad| 0.01) flips the Adam direction:
+    # without decay params grow (negative grad); with decay they shrink.
+    assert float(no_decay['w'][0]) > 2.0
+    assert float(with_decay['w'][0]) < float(no_decay['w'][0])
+
+
+def test_unknown_scheduler_raises():
+    from mmvid_tpu.training import make_lr_schedule
+    with pytest.raises(ValueError, match='unknown lr_scheduler'):
+        make_lr_schedule(TrainConfig(lr_scheduler='bogus'))
+
+
+def test_reduce_on_plateau_halves_lr():
+    """reducelronplateau (factor .5, patience 2, cooldown 5, min_lr 1e-6;
+    utils/utils_train.py:314-335) must actually reduce the update scale
+    when the loss plateaus."""
+    import optax
+    from mmvid_tpu.training import make_optimizer
+    tc = TrainConfig(optimizer='adam', lr_scheduler='reducelronplateau',
+                     learning_rate=1e-2, lr_scheduler_every=1)
+    tx = make_optimizer(tc)
+    params = {'w': jnp.ones((2,))}
+    grads = {'w': jnp.ones((2,))}
+    st = tx.init(params)
+
+    def scale_of(state):
+        leaves = jax.tree_util.tree_leaves(
+            [getattr(s, 'scale', None) for s in jax.tree_util.tree_leaves(
+                state, is_leaf=lambda x: hasattr(x, 'scale'))])
+        return float(leaves[0]) if leaves else None
+
+    # constant loss -> plateau -> scale drops below 1 within a few checks
+    for i in range(12):
+        upd, st = tx.update(grads, st, params, value=jnp.float32(5.0))
+    s = scale_of(st)
+    assert s is not None and s < 1.0, f'plateau scale not reduced: {s}'
+
+
 def test_train_step_improves_loss(tiny_model):
     tc = TrainConfig(learning_rate=3e-3, beta_msm=1.0, beta_rel=0.0,
                      beta_vid=0.0, lr_scheduler='none', dropout_vc=0.0,

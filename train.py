@@ -111,11 +111,16 @@ def main_worker(args):
     dataset = factories.get_dataset(args, tokenizer)
     if is_root():
         print(f'{len(dataset)} samples found')
-    loader = DataLoader(dataset, batch_size=args.batch_size,
+    # args.batch_size is the GLOBAL batch (the reference divides it per
+    # rank, train.py:95-97); each host loads its local slice.
+    n_proc = jax.process_count()
+    assert args.batch_size % n_proc == 0, (
+        f'batch_size {args.batch_size} not divisible by {n_proc} hosts')
+    loader = DataLoader(dataset, batch_size=args.batch_size // n_proc,
                         num_workers=min(args.num_workers, 16),
                         seed=args.seed,
                         process_index=jax.process_index(),
-                        process_count=jax.process_count())
+                        process_count=n_proc)
     batches = infinite_batches(loader)
 
     tc = TrainConfig(
@@ -123,6 +128,7 @@ def main_worker(args):
         lr_scheduler=(args.lr_scheduler if args.lr_decay else 'none'),
         lr_scheduler_warmup=args.lr_scheduler_warmup,
         lr_scheduler_step_size=args.lr_scheduler_step_size,
+        lr_scheduler_every=args.lr_scheduler_every,
         total_steps=args.iters, weight_decay=args.weight_decay,
         clip_grad_norm=args.clip_grad_norm, beta_msm=args.beta_msm,
         beta_rel=args.beta_rel, beta_vid=args.beta_vid,
@@ -151,7 +157,13 @@ def main_worker(args):
     step_fn = jit_train_step(model, tc, mesh=mesh)
     state = step_fn.shard_state(create_train_state(model, tc))
 
-    key = jax.random.PRNGKey(args.seed + jax.process_index())
+    # ONE common base key across hosts: the step key is a replicated SPMD
+    # input, so every process must pass the same value (per-process keys are
+    # undefined under GSPMD).  Per-step keys are fold_in(base, idx) —
+    # root-only side effects (viz) use a disjoint stream so they cannot
+    # desync the hosts' key sequence.
+    base_key = jax.random.PRNGKey(args.seed)
+    viz_key = jax.random.PRNGKey(args.seed ^ 0x5eed5eed)
     log_path = log_dir / 'log.txt'
     t0 = time.time()
 
@@ -175,7 +187,7 @@ def main_worker(args):
 
         if profile_dir and idx == start_iter + 10 and is_root():
             jax.profiler.start_trace(profile_dir)
-        key, k = jax.random.split(key)
+        k = jax.random.fold_in(base_key, idx)
         state, metrics = step_fn(state, feed, k)
         if profile_dir and idx == start_iter + 15 and is_root():
             jax.tree_util.tree_map(
@@ -217,7 +229,7 @@ def main_worker(args):
                 and not args.ar:
             from mmvid_tpu.utils.viz import visualize_train
             model.params = jax.device_get(state.params)
-            key, k = jax.random.split(key)
+            k = jax.random.fold_in(viz_key, idx)
             visualize_train(
                 model, batch, k, str(log_sample_dir), idx,
                 n_per_sample=min(args.n_per_sample, 2),
