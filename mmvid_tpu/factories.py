@@ -85,7 +85,8 @@ def build_clip_config(args) -> ClipStackConfig:
     if args.which_transformer == 'openai_clip_visual':
         return ClipStackConfig(width=768, layers=12, heads=12)
     if args.which_transformer == 'openai_clip_text':
-        return ClipStackConfig(width=512, layers=8, heads=8)
+        # real ViT-B/32 text stack dims (width 512, 12 layers, 8 heads)
+        return ClipStackConfig(width=512, layers=12, heads=8)
     if args.which_transformer.startswith('custom:'):
         # 'custom:<width>:<layers>:<heads>' — train-from-scratch sizes
         _, w, l, h = args.which_transformer.split(':')
@@ -93,12 +94,70 @@ def build_clip_config(args) -> ClipStackConfig:
     raise NotImplementedError(args.which_transformer)
 
 
+def load_pretrained_stack(args) -> Tuple[ClipStackConfig, Optional[dict]]:
+    """Resolve the backbone config and, for openai_clip_* transformers, the
+    pretrained resblock params from the ViT-B-32.pt torch.jit archive.
+
+    The reference ALWAYS builds its backbone from the archive
+    (clip_model.py:535-543, selected at dalle_bert.py:396-405) — training
+    is CLIP finetuning, never random init.  Missing archive -> loud warning
+    + random init so smoke runs still work in weightless environments."""
+    clip_cfg = build_clip_config(args)
+    if not args.which_transformer.startswith('openai_clip'):
+        return clip_cfg, None
+    path = getattr(args, 'openai_clip_model_path', None)
+    if path and os.path.exists(path):
+        loaded_cfg, stack_params = load_openai_clip_stack(
+            path, args.which_transformer)
+        return loaded_cfg, stack_params
+    import warnings
+    warnings.warn(
+        f'openai_clip_model_path {path!r} not found: the '
+        f'{args.which_transformer} backbone will be RANDOMLY initialized. '
+        'The reference recipe finetunes the pretrained CLIP stack '
+        '(clip_model.py:535-543); results will not be comparable without '
+        'ViT-B-32.pt.', stacklevel=2)
+    return clip_cfg, None
+
+
+def graft_transformer_params(params: dict, stack_params: dict) -> dict:
+    """Replace the model's transformer resblock params with converted
+    pretrained ones (shape-checked)."""
+    fresh = params['transformer']
+    missing = set(fresh) - set(stack_params)
+    extra = set(stack_params) - set(fresh)
+    assert not missing and not extra, (
+        f'pretrained stack keys mismatch: missing={missing} extra={extra}')
+    jnp_tree = jnp.asarray  # converted params are numpy
+
+    def check_and_cast(path, fresh_leaf, new_leaf):
+        assert fresh_leaf.shape == new_leaf.shape, (
+            f'{path}: shape {new_leaf.shape} != expected {fresh_leaf.shape}')
+        return jnp_tree(new_leaf).astype(fresh_leaf.dtype)
+
+    import jax
+    flat_fresh = jax.tree_util.tree_flatten_with_path(fresh)[0]
+    new_flat = jax.tree_util.tree_flatten_with_path(stack_params)[0]
+    assert len(flat_fresh) == len(new_flat), 'stack param tree mismatch'
+    leaves = []
+    for (kp_f, f), (kp_n, n) in zip(flat_fresh, new_flat):
+        assert jax.tree_util.keystr(kp_f) == jax.tree_util.keystr(kp_n), (
+            f'param path mismatch: {jax.tree_util.keystr(kp_f)} vs '
+            f'{jax.tree_util.keystr(kp_n)}')
+        leaves.append(check_and_cast(jax.tree_util.keystr(kp_f), f, n))
+    out = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(fresh), leaves)
+    new_params = dict(params)
+    new_params['transformer'] = out
+    return new_params
+
+
 def get_dalle(args, vae: VQGanVAE, cvae: Optional[VQGanVAE] = None,
               text_feature_dim: int = 0):
     """Build MMVIDBert (or ARTV core) per args (reference train.py:143-193)."""
     dtype = jnp.bfloat16 if getattr(args, 'bf16', False) or \
         getattr(args, 'fp16', False) else jnp.float32
-    clip_cfg = build_clip_config(args)
+    clip_cfg, stack_params = load_pretrained_stack(args)
     assert args.dim == clip_cfg.width, (
         f'--dim {args.dim} must match the {args.which_transformer} width '
         f'{clip_cfg.width}')
@@ -111,7 +170,11 @@ def get_dalle(args, vae: VQGanVAE, cvae: Optional[VQGanVAE] = None,
             num_image_tokens=vae.num_tokens,
             image_fmap_size=vae.fmap_size, image_size=vae.image_size,
             loss_img_weight=args.loss_img_weight, clip=clip_cfg)
-        return ArtvModel(cfg, vae, cvae=cvae, dtype=dtype)
+        model = ArtvModel(cfg, vae, cvae=cvae, dtype=dtype)
+        if stack_params is not None:
+            model.params = graft_transformer_params(model.params,
+                                                    stack_params)
+        return model
     cfg = BertConfig(
         dim=args.dim, num_text_tokens=49408,
         text_seq_len=(args.text_seq_len
@@ -123,7 +186,10 @@ def get_dalle(args, vae: VQGanVAE, cvae: Optional[VQGanVAE] = None,
         fixed_language_model=args.fixed_language_model,
         text_feature_dim=text_feature_dim,
         text_emb_bottleneck=args.text_emb_bottleneck, clip=clip_cfg)
-    return MMVIDBert(cfg, vae, cvae=cvae, dtype=dtype)
+    model = MMVIDBert(cfg, vae, cvae=cvae, dtype=dtype)
+    if stack_params is not None:
+        model.params = graft_transformer_params(model.params, stack_params)
+    return model
 
 
 def get_dataset(args, tokenizer):

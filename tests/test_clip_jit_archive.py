@@ -61,3 +61,57 @@ def test_load_openai_clip_stack_from_jit(jit_archive):
 
     cfg_t, params_t = load_openai_clip_stack(path, 'openai_clip_text')
     assert cfg_t.width == 64 and cfg_t.layers == 2
+
+
+def test_get_dalle_initializes_from_pretrained_clip(jit_archive, tmp_path):
+    """Training builds its backbone FROM the jit archive (reference
+    clip_model.py:535-543 via dalle_bert.py:396-405): get_dalle must graft
+    the converted resblock params into the fresh model."""
+    import jax
+    path, _ = jit_archive
+    from mmvid_tpu import factories
+    from mmvid_tpu.config import process_args
+    from mmvid_tpu.models.clip import load_openai_clip_stack
+    from mmvid_tpu.models.vqgan import VQGanConfig, VQGanVAE
+
+    args = process_args(train=True, argv=[
+        '--name', 't', '--image_text_folder', str(tmp_path),
+        '--dataset', 'video_text', '--dim', '64',
+        '--which_transformer', 'openai_clip_visual',
+        '--openai_clip_model_path', path,
+        '--text_seq_len', '8', '--num_targets', '2', '--image_size', '32'])
+    vq_cfg = VQGanConfig(resolution=32, ch=32, ch_mult=(1, 2),
+                         num_res_blocks=1, z_channels=64, embed_dim=64,
+                         n_embed=1024, attn_resolutions=())
+    vae = VQGanVAE(image_size=32, cfg=vq_cfg)
+    model = factories.get_dalle(args, vae)
+
+    _, expected = load_openai_clip_stack(path, 'openai_clip_visual')
+    got = model.params['transformer']
+    assert set(got) == set(expected)
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(got)[0],
+            jax.tree_util.tree_flatten_with_path(expected)[0]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6,
+            err_msg=jax.tree_util.keystr(kp))
+
+    # missing archive -> loud warning + random init, not a crash
+    args2 = process_args(train=True, argv=[
+        '--name', 't', '--image_text_folder', str(tmp_path),
+        '--dataset', 'video_text', '--dim', '64',
+        '--which_transformer', 'custom:64:2:2',
+        '--text_seq_len', '8', '--num_targets', '2', '--image_size', '32'])
+    factories.get_dalle(args2, vae)
+
+    import warnings as w
+    args3 = process_args(train=True, argv=[
+        '--name', 't', '--image_text_folder', str(tmp_path),
+        '--dataset', 'video_text', '--dim', '768',
+        '--which_transformer', 'openai_clip_visual',
+        '--openai_clip_model_path', str(tmp_path / 'missing.pt'),
+        '--text_seq_len', '8', '--num_targets', '2', '--image_size', '32'])
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter('always')
+        factories.get_dalle(args3, vae)
+    assert any('RANDOMLY initialized' in str(r.message) for r in rec)
