@@ -139,6 +139,26 @@ class TrainState(struct.PyTreeNode):
                    opt_state=tx.init(params))
 
 
+def opt_state_leaves(opt_state) -> dict:
+    """Flatten an optax state into an orbax-serializable {index: leaf} dict
+    (optax states are nested namedtuples, which orbax restores as plain
+    containers; leaves + a fresh template round-trip exactly)."""
+    leaves = jax.tree_util.tree_leaves(opt_state)
+    return {str(i): leaf for i, leaf in enumerate(leaves)}
+
+
+def opt_state_from_leaves(template_opt_state, leaves: dict):
+    """Rebuild an optax state from opt_state_leaves output; the template is
+    a freshly-initialized state of the SAME optimizer config."""
+    treedef = jax.tree_util.tree_structure(template_opt_state)
+    ordered = [jnp.asarray(leaves[str(i)]) for i in range(len(leaves))]
+    assert treedef.num_leaves == len(ordered), (
+        f'optimizer state leaf count changed: checkpoint has {len(ordered)},'
+        f' current optimizer expects {treedef.num_leaves} (was the optimizer'
+        ' or lr_scheduler config changed across the resume?)')
+    return jax.tree_util.tree_unflatten(treedef, ordered)
+
+
 def create_train_state(model: MMVIDBert, tc: TrainConfig) -> TrainState:
     # Copy params: the jitted step donates its TrainState, and donation
     # would otherwise invalidate model.params (still needed for generation

@@ -266,3 +266,51 @@ def test_checkpoint_roundtrip(tiny_model, tmp_path):
     a = jax.tree_util.tree_leaves(tiny_model.params)[0]
     b = jax.tree_util.tree_leaves(loaded['params'])[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_restores_optimizer_state_bitwise(tiny_model, tmp_path):
+    """Save at step 3, restore into a fresh state, continue to step 6: the
+    trajectory must be bitwise-identical to an uninterrupted run (reference
+    checkpoints include 'optimizer', utils/utils_train.py:297-305)."""
+    from mmvid_tpu.training import (
+        make_train_step, opt_state_from_leaves, opt_state_leaves)
+    from mmvid_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    tc = TrainConfig(learning_rate=1e-3, beta_rel=0.0, beta_vid=0.0,
+                     lr_scheduler='warmuplr', lr_scheduler_warmup=4,
+                     dropout_vc=0.0)
+    step = jax.jit(make_train_step(tiny_model, tc))
+    base = jax.random.PRNGKey(42)
+    batch = _batch()
+
+    # uninterrupted
+    state = create_train_state(tiny_model, tc)
+    for i in range(6):
+        state, _ = step(state, batch, jax.random.fold_in(base, i))
+    ref_params = jax.device_get(state.params)
+
+    # interrupted at 3
+    state = create_train_state(tiny_model, tc)
+    for i in range(3):
+        state, _ = step(state, batch, jax.random.fold_in(base, i))
+    tree = {'step': 3, 'params': jax.device_get(state.params),
+            'opt_state': opt_state_leaves(jax.device_get(state.opt_state))}
+    save_checkpoint(str(tmp_path / 'run'), 3, tree)
+
+    loaded, _ = load_checkpoint(str(tmp_path / 'run' / 'weights' / '3'))
+    fresh = create_train_state(tiny_model, tc)
+    resumed = fresh.replace(
+        params=loaded['params'],
+        opt_state=opt_state_from_leaves(fresh.opt_state,
+                                        loaded['opt_state']),
+        step=jnp.asarray(int(np.asarray(loaded['step'])), jnp.int32))
+    for i in range(3, 6):
+        resumed, _ = step(resumed, batch, jax.random.fold_in(base, i))
+    got = jax.device_get(resumed.params)
+
+    flat_a = jax.tree_util.tree_flatten_with_path(ref_params)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(got)[0]
+    for (kp, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=f'not bitwise equal at {jax.tree_util.keystr(kp)}')

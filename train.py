@@ -95,6 +95,7 @@ def main_worker(args):
                                 text_feature_dim=text_feature_dim)
 
     start_iter = args.start_iter or 0
+    resume_opt_leaves = None
     if args.dalle_path:
         if str(args.dalle_path).endswith('.pt'):
             from mmvid_tpu.utils.torch_compat import load_dalle_checkpoint
@@ -107,6 +108,11 @@ def main_worker(args):
         else:
             tree, _ = load_checkpoint(args.dalle_path)
             model.params = tree['params']
+            # resume restores the optimizer moments + schedule position too
+            # (reference saves 'optimizer', utils/utils_train.py:297-305)
+            resume_opt_leaves = tree.get('opt_state')
+            if args.start_iter is None and 'step' in tree:
+                start_iter = int(np.asarray(tree['step']))
 
     dataset = factories.get_dataset(args, tokenizer)
     if is_root():
@@ -155,7 +161,14 @@ def main_worker(args):
     else:
         mesh = make_mesh(mesh_spec)
     step_fn = jit_train_step(model, tc, mesh=mesh)
-    state = step_fn.shard_state(create_train_state(model, tc))
+    state = create_train_state(model, tc)
+    if resume_opt_leaves is not None:
+        from mmvid_tpu.training import opt_state_from_leaves
+        state = state.replace(
+            opt_state=opt_state_from_leaves(state.opt_state,
+                                            resume_opt_leaves),
+            step=jnp.asarray(start_iter, jnp.int32))
+    state = step_fn.shard_state(state)
 
     # ONE common base key across hosts: the step key is a replicated SPMD
     # input, so every process must pass the same value (per-process keys are
@@ -173,6 +186,13 @@ def main_worker(args):
 
     hparams = {k: v for k, v in vars(args).items()
                if isinstance(v, (int, float, str, bool, type(None)))}
+
+    def ckpt_tree(idx):
+        from mmvid_tpu.training import opt_state_leaves
+        model.params = jax.device_get(state.params)
+        return {'step': idx, 'params': model.params,
+                'opt_state': opt_state_leaves(
+                    jax.device_get(state.opt_state))}
 
     for idx in range(start_iter, args.iters):
         batch = next(batches)
@@ -201,9 +221,8 @@ def main_worker(args):
             loss_now = float(metrics['loss'])
             if not np.isfinite(loss_now):
                 if is_root():
-                    model.params = jax.device_get(state.params)
                     save_checkpoint(str(log_dir), f'nan_at_{idx}',
-                                    {'step': idx, 'params': model.params},
+                                    ckpt_tree(idx),
                                     hparams=hparams, keep_last=False)
                 raise FloatingPointError(
                     f'non-finite loss {loss_now} at iter {idx}; emergency '
@@ -220,9 +239,7 @@ def main_worker(args):
                 f.write(line + '\n')
 
         if is_root() and idx and (idx % args.save_every_n_steps == 0):
-            model.params = jax.device_get(state.params)
-            save_checkpoint(str(log_dir), idx,
-                            {'step': idx, 'params': model.params},
+            save_checkpoint(str(log_dir), idx, ckpt_tree(idx),
                             hparams=hparams)
 
         if is_root() and idx and (idx % args.sample_every == 0) \
@@ -238,9 +255,7 @@ def main_worker(args):
                 mp_config=args.mp_config)
 
     if is_root():
-        model.params = jax.device_get(state.params)
-        save_checkpoint(str(log_dir), args.iters,
-                        {'step': args.iters, 'params': model.params},
+        save_checkpoint(str(log_dir), args.iters, ckpt_tree(args.iters),
                         hparams=hparams)
         print('training done')
 
