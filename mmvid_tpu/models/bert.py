@@ -200,14 +200,19 @@ class BertCore(nn.Module):
             return self.tfm_ln2(h)
         return self.tfm_fc(feat)
 
-    def control_embedding(self, text, visual_tokens=None):
+    def control_embedding(self, text, visual_tokens=None,
+                          drop_visual=False):
         """Assemble the control prefix embedding (dalle_bert.py:901-973).
 
         text: [B, text_seq_len] int tokens, or [B, text_feature_dim] floats
         when cfg.fixed_language_model is set.
         visual_tokens: [B, visual_seq_len] int tokens (already corrupted /
         SEP-inserted as needed), or None when num_visuals == 0.
-        Returns [B, control_seq_len, D] float32.
+        drop_visual: negvc negative-control layout — the reference NEVER
+        appends a visual segment to control_neg_emb (dalle_bert.py:909-975),
+        so the negative sequence is [REL]+text_neg+[ST1][VID], shorter than
+        the positive when num_visuals > 0.
+        Returns [B, control_seq_len(-visual_seq_len), D] float32.
         """
         cfg = self.cfg
         b = text.shape[0]
@@ -229,7 +234,7 @@ class BertCore(nn.Module):
             t_emb = self.text_feature_mapping(text)[:, None, :]
         parts.append(t_emb)
 
-        if cfg.num_visuals > 0:
+        if cfg.num_visuals > 0 and not drop_visual:
             assert visual_tokens is not None
             if cfg.use_separate_visual_emb:
                 v_emb = self.visual_emb(visual_tokens)
@@ -259,12 +264,15 @@ class BertCore(nn.Module):
 
     def transformer_forward(self, tokens_emb):
         """Full-sequence forward with the mask_prev attention mask
-        (dalle_bert.py:489-494)."""
+        (dalle_bert.py:489-494).  Shorter sequences (the negvc negative
+        control drops the visual segment) get the full-layout mask sliced
+        [:L, :L], exactly like the reference (clip_model.py:219-221)."""
         cfg = self.cfg
         mask = build_attention_mask(
             cfg.total_seq_len, 'mask_prev',
             index=(cfg.st1_tok_index, cfg.vid_tok_index))
-        out = self.transformer(tokens_emb, mask)
+        L = tokens_emb.shape[1]
+        out = self.transformer(tokens_emb, mask[:L, :L])
         if cfg.stable:
             out = out / jnp.max(out, axis=-1, keepdims=True)
         return out
@@ -292,6 +300,14 @@ class BertCore(nn.Module):
         logit_rel = self.to_logits_rel(out[:, cfg.rel_tok_index, :])[..., 0]
         logit_vid = self.to_logits_vid(out[:, cfg.vid_tok_index, :])[..., 0]
         return logits_msm, logit_rel, logit_vid, out
+
+    def forward_rel_logit(self, control_emb, target_emb):
+        """REL-head logit only — used for the negvc negative forward whose
+        control may be shorter than control_seq_len (dalle_bert.py:1048-1055)."""
+        tokens = jnp.concatenate(
+            [control_emb, target_emb.astype(jnp.float32)], axis=1)
+        out = self.transformer_forward(tokens)
+        return self.to_logits_rel(out[:, self.cfg.rel_tok_index, :])[..., 0]
 
     def __call__(self, text, visual_tokens, target_tokens):
         """Convenience full pass used for init/shape-checking."""
@@ -341,7 +357,10 @@ def bert_losses(core: BertCore, params, *, text, visual_tokens,
 
     keep_gt_mask [B, target_seq_len] bool: True = ground-truth token kept
     visible (reference mask1).  target_tokens_warp: VID negatives already
-    tokenized.  control_neg: (text_neg, visual_neg_tokens) for negvc mode.
+    tokenized.  control_neg: text_neg tokens for negvc mode — the negative
+    control is [REL]+text_neg+[ST1][VID] with the visual segment dropped,
+    exactly the reference layout (dalle_bert.py:909-975; its visual_neg
+    parameter is dead, :885).
     """
     def apply(method, *a, **k):
         return core.apply({'params': params}, *a, method=method, **k)
@@ -359,13 +378,12 @@ def bert_losses(core: BertCore, params, *, text, visual_tokens,
     b = text.shape[0]
     if rel:
         if control_neg is not None:
-            text_neg, visual_neg_tokens = control_neg
-            control_neg_emb = apply(BertCore.control_embedding, text_neg,
-                                    visual_neg_tokens)
+            control_neg_emb = apply(BertCore.control_embedding, control_neg,
+                                    None, drop_visual=True)
         else:
             control_neg_emb = swap_halves(control_emb)
-        _, logit_rel_neg, _, _ = apply(
-            BertCore.forward_full, control_neg_emb, target_emb)
+        logit_rel_neg = apply(
+            BertCore.forward_rel_logit, control_neg_emb, target_emb)
         ones = jnp.ones((b,), jnp.float32)
         zeros = jnp.zeros((b,), jnp.float32)
         if rel_no_fully_masked:

@@ -172,18 +172,14 @@ class MMVIDBert:
 
         control_neg = None
         if negvc and text_neg is not None:
-            # NB: the reference's negvc negative control DROPS the visual
-            # segment entirely (dalle_bert.py:909-975), which shifts the
-            # [ST1]/[VID] rows relative to the shared mask_prev mask; we
-            # keep the full layout (loader negatives or fully-masked
-            # visual) so estimation-token positions stay aligned.
-            if visual_neg is not None:
-                vneg_tokens = self.prepare_visual_tokens(k_vis, visual_neg)
-            elif cfg.num_visuals > 0:
-                vneg_tokens = self.fully_masked_visual(b)
-            else:
-                vneg_tokens = None
-            control_neg = (text_neg, vneg_tokens)
+            # Reference layout: the negative control DROPS the visual
+            # segment entirely ([REL]+text_neg+[ST1][VID], shorter sequence
+            # with the attn mask sliced [:L,:L]; dalle_bert.py:909-975).
+            # visual_neg is accepted for loader parity but unused, exactly
+            # like the reference's dead parameter (dalle_bert.py:885,
+            # train.py:313).
+            del visual_neg
+            control_neg = text_neg
 
         return bert_losses(
             self.core, params, text=text, visual_tokens=visual_tokens,

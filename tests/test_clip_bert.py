@@ -201,3 +201,59 @@ def test_bert_losses_parity_with_visuals():
                                rtol=2e-4)
     np.testing.assert_allclose(float(loss_rel), float(loss_rel_ref),
                                rtol=2e-4)
+
+
+def test_bert_losses_parity_negvc():
+    """negvc REL parity: the negative control is [REL]+text_neg+[ST1][VID]
+    with the visual segment dropped (shorter sequence, mask sliced [:L,:L];
+    reference dalle_bert.py:909-975, 1048-1055).  visual_neg must be dead
+    (reference dalle_bert.py:885)."""
+    import torch
+    ref = load_reference_bert(dim=64, heads=2, layers=2, text_seq_len=6,
+                              num_text_tokens=50, num_visuals=2,
+                              num_targets=2, image_size=32, vae_layers=2,
+                              num_tokens=1024, seed=17)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_bert(sd)['params']
+    cfg = BertConfig(dim=64, num_text_tokens=50, text_seq_len=6,
+                     num_visuals=2, num_targets=2, num_image_tokens=1024,
+                     image_fmap_size=8, image_size=32,
+                     clip=ClipStackConfig(width=64, layers=2, heads=2))
+    core = BertCore(cfg)
+
+    rng = np.random.RandomState(19)
+    text = rng.randint(1, 50, size=(2, 6))
+    text_neg = rng.randint(1, 50, size=(2, 6))
+    visual_tokens = rng.randint(0, 1024, size=(2, cfg.visual_seq_len))
+    target_tokens = rng.randint(0, 1024, size=(2, cfg.target_seq_len))
+
+    with torch.no_grad():
+        loss_msm_ref, loss_rel_ref, _ = ref(
+            torch.from_numpy(text).long(),
+            visual=torch.from_numpy(visual_tokens).long(),
+            target=torch.from_numpy(target_tokens).long(),
+            return_loss=True, rel=True, vid=False, negvc=True,
+            text_neg=torch.from_numpy(text_neg).long(),
+            visual_neg=torch.zeros(1),
+            msm_strategy_prob=[0.0, 1.0, 0.0, 0.0])
+
+    keep = jnp.zeros((2, cfg.target_seq_len), bool)
+    loss_msm, loss_rel, _ = bert_losses(
+        core, params, text=jnp.asarray(text),
+        visual_tokens=jnp.asarray(visual_tokens),
+        target_tokens=jnp.asarray(target_tokens), keep_gt_mask=keep,
+        not_fully_masked=jnp.zeros((2,)), rel=True, vid=False,
+        control_neg=jnp.asarray(text_neg))
+    np.testing.assert_allclose(float(loss_msm), float(loss_msm_ref),
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(loss_rel), float(loss_rel_ref),
+                               rtol=2e-4)
+
+    # a different text_neg must change loss_rel
+    other = bert_losses(
+        core, params, text=jnp.asarray(text),
+        visual_tokens=jnp.asarray(visual_tokens),
+        target_tokens=jnp.asarray(target_tokens), keep_gt_mask=keep,
+        not_fully_masked=jnp.zeros((2,)), rel=True, vid=False,
+        control_neg=jnp.asarray(text))[1]
+    assert abs(float(other) - float(loss_rel)) > 1e-6

@@ -204,6 +204,8 @@ def main_worker(args):
             feed['visual'] = np.asarray(batch['visual'])
         if args.negvc and 'text_neg' in batch:
             feed['text_neg'] = np.asarray(batch['text_neg'])
+        if args.negvc and 'visual_neg' in batch:
+            feed['visual_neg'] = np.asarray(batch['visual_neg'])
 
         if profile_dir and idx == start_iter + 10 and is_root():
             jax.profiler.start_trace(profile_dir)
