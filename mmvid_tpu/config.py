@@ -110,6 +110,9 @@ def get_args_base() -> argparse.ArgumentParser:
     add('--ar', action='store_true', help='use autoregressive ART-V model')
     add('--slow', action='store_true', help='iPER speed-variant data')
     add('--insert_sep', action='store_true')
+    # NB: dead flag in the reference as well — generate_images forwards
+    # argmax into mask_predict's **kwargs, which never reads it
+    # (dalle_bert.py:469 vs :514-526); accepted for CLI compatibility.
     add('--pnag_argmax', action='store_true')
     add('--pnag_dynamic', action='store_true')
     add('--openai_clip_model_path', type=str, default='ViT-B-32.pt')

@@ -119,6 +119,12 @@ class VoxDataset(TextVideoDataset):
 
     # -- main ------------------------------------------------------------
     def __getitem__(self, ind) -> Dict:
+        # cat1/cat2 short-circuit the normal (text, target, visual) flow and
+        # return an attribute-prompt batch (loader_ext.py:469-543)
+        if self.attr_mode == 'cat1':
+            return self.cat1_batch(ind)
+        if self.attr_mode == 'cat2':
+            return self.cat2_batch(ind)
         frames, key, visual = self._get_video(ind)
         if self.video_only:
             return {'text': self._tokenize('dummy text'), 'target': frames,
@@ -217,25 +223,48 @@ class VoxDataset(TextVideoDataset):
             return vis, ('A person with appearance in image one and motion '
                          'in the following frames is talking.')
 
-        if mode == 'cat1':
-            raise NotImplementedError(
-                'cat1 visualization mode: use vox_cat1_batch()')
-
         # default: one video frame as control
         return visual[None], description
+
+    def _clip_for_attr(self, yi: int, ind: int) -> np.ndarray:
+        """The (ind mod pool)-th clip whose label has attribute column yi
+        set (loader_ext.py:474-476); empty pools fall back to the full key
+        list instead of the reference's ZeroDivisionError."""
+        pool = self.vox_attr_dict['cat1'].get(yi) or self.keys
+        k = pool[ind % len(pool)]
+        frames, _, _ = self._get_video(self.keys.index(k))
+        return frames
 
     def cat1_batch(self, ind) -> Dict:
         """attr_mode='cat1' visualization batches (loader_ext.py:469-487):
         one clip + PCFG phrase per requested attribute column."""
         clips, texts = [], []
         for yi in self.cat1:
-            pool = self.vox_attr_dict['cat1'][yi]
-            k = pool[ind % len(pool)]
-            i = self.keys.index(k)
-            frames, _, _ = self._get_video(i)
             desc = pcfg.generate_phrase(
                 (True, 1), (ATTR_VERB[ATTR[yi]], NAME[yi]))
             desc = 'A person' + desc[2:]
-            clips.append(frames)
+            clips.append(self._clip_for_attr(yi, ind))
+            texts.append(self._tokenize(desc))
+        return {'target': np.stack(clips), 'text': np.stack(texts)}
+
+    def cat2_batch(self, ind) -> Dict:
+        """attr_mode='cat2' (loader_ext.py:488-543): five fixed attribute
+        prompts — gender (phrased from the ind-th key's own Male label),
+        young, bald, eyeglasses, chubby — one clip each."""
+        clips, texts = [], []
+        key = self.keys[ind % len(self.keys)]
+        frames, _, _ = self._get_video(self.keys.index(key))
+        male = self._get_label_str(key).split(',')[ATTR.index('Male')] == '1'
+        if male:
+            desc = 'A boy.' if ind % 2 == 0 else 'A guy.'
+        else:
+            desc = 'A girl.' if ind % 2 == 0 else 'A lady.'
+        clips.append(frames)
+        texts.append(self._tokenize(desc))
+        for attr_name, desc in (('Young', 'A person is youthful.'),
+                                ('Bald', 'A person has no hair.'),
+                                ('Eyeglasses', 'A person wears spectacles.'),
+                                ('Chubby', 'A person is plump.')):
+            clips.append(self._clip_for_attr(ATTR.index(attr_name), ind))
             texts.append(self._tokenize(desc))
         return {'target': np.stack(clips), 'text': np.stack(texts)}

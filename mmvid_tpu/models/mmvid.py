@@ -27,6 +27,7 @@ from mmvid_tpu.models.sampler import (
     arrange_preserve_tokens,
     build_spec,
     mask_predict,
+    mask_predict_trace,
     preserve_layout,
 )
 from mmvid_tpu.models.vqgan import VQGanVAE
@@ -250,6 +251,45 @@ class MMVIDBert:
         return self._gen_cache[statics](self.params, self.vae.params, text,
                                         visual, key, preserve)
 
+    def generate_images_debug(self, key, text, *, visual=None,
+                              erase_visual=False, vc_mode=None,
+                              face_mode=None, mask_predict_steps=0,
+                              mp_config=None):
+        """PNAG debug sampling (reference debug=True path,
+        dalle_bert.py:635-700): runs the fixed-length trace sampler and
+        returns (videos [B,T,H,W,3], img_seq, step_decodes [S,B,T,H,W,3],
+        step_keeps [S,B,target_seq_len] bool) — one decoded video + keep
+        mask per mask-predict step for the debug grid."""
+        cfg = self.cfg
+        mp_config = mp_config or DEFAULT_MP_CONFIG
+        pmask, N = preserve_layout(cfg, 'long', 1, False)
+        spec = build_spec(mp_config, N, steps=mask_predict_steps,
+                          dynamic=False)
+        k_vis, k_sample = jax.random.split(key)
+        b = text.shape[0]
+        if cfg.num_visuals > 0:
+            if visual is not None:
+                visual_tokens = self.prepare_visual_tokens(
+                    k_vis, visual, erase_visual=erase_visual,
+                    erase_visual_half=True, vc_mode=vc_mode,
+                    face_mode=face_mode)
+            else:
+                visual_tokens = self.fully_masked_visual(b)
+        else:
+            visual_tokens = None
+        control_emb = self.core.apply(
+            {'params': self.params}, text, visual_tokens,
+            method=BertCore.control_embedding)
+        trace, keeps, final = mask_predict_trace(
+            self.core, self.params, control_emb, k_sample, spec, pmask)
+        steps = trace.shape[0]
+        flat = trace.reshape(steps * b * cfg.num_targets, cfg.image_seq_len)
+        imgs = self.vae.decode(flat)
+        step_decodes = np.asarray(imgs).reshape(
+            (steps, b, cfg.num_targets) + imgs.shape[1:])
+        videos = step_decodes[-1]
+        return videos, final, step_decodes, np.asarray(keeps)
+
     def decode_video(self, img_seq):
         cfg = self.cfg
         b = img_seq.shape[0]
@@ -259,9 +299,15 @@ class MMVIDBert:
 
     def recon_images(self, images, which_vae='vae'):
         """Tokenize + decode (round-trip) for visualization
-        (dalle_bert.py:753-763)."""
+        (dalle_bert.py:753-763).  Handles any frame count (visual controls
+        have num_visuals frames, not num_targets)."""
         toks = self.get_image_tokens(images, which_vae=which_vae)
-        return self.decode_video(toks)
+        vae = self.cvae if (which_vae == 'cvae' and self.cvae is not None) \
+            else self.vae
+        b = toks.shape[0]
+        t = toks.shape[1] // self.cfg.image_seq_len
+        imgs = vae.decode(toks.reshape(b * t, self.cfg.image_seq_len))
+        return imgs.reshape((b, t) + imgs.shape[1:])
 
 
 DEFAULT_MP_CONFIG = {

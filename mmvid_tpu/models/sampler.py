@@ -258,10 +258,13 @@ def mask_predict(core, params, control_emb, key, spec: MaskPredictSpec,
 def mask_predict_trace(core, params, control_emb, key,
                        spec: MaskPredictSpec, preserve_mask: np.ndarray,
                        preserve_tokens: Optional[jax.Array] = None):
-    """Like mask_predict but returns every step's tokens [T, B, N] for the
-    PNAG debug visualization (reference debug=True path,
-    dalle_bert.py:635-700 image_samples).  Runs a fixed-length scan (no
-    dynamic stop) with the same update rule."""
+    """Like mask_predict but returns (tokens_per_step [T, B, N],
+    keep_masks_per_step [T, B, N] bool, final_tokens) for the PNAG debug
+    visualization (reference debug=True path, dalle_bert.py:635-700
+    image_samples; keep==False marks the re-masked positions rendered by
+    decode_masks).  Runs a fixed-length scan (no dynamic stop) with the
+    same update rule.  Step 0's keep mask is the preserve mask (everything
+    else starts [MASK]ed)."""
     from mmvid_tpu.models.bert import BertCore
 
     cfg = core.cfg
@@ -302,8 +305,11 @@ def mask_predict_trace(core, params, control_emb, key,
         Y_new, I_new = _sample_multinomial(k2, logits, temp_sched[t])
         Y = jnp.where(keep, Y, Y_new)
         I_tok = jnp.where(keep, I_tok, I_new)
-        return (Y, I_tok, key), I_tok
+        return (Y, I_tok, key), (I_tok, keep)
 
-    (_, final, _), trace = jax.lax.scan(
+    (_, final, _), (trace, keeps) = jax.lax.scan(
         step, (Y, I_tok, key), jnp.arange(1, spec.Tmax))
-    return jnp.concatenate([I_tok[None], trace], axis=0), final
+    tokens_per_step = jnp.concatenate([I_tok[None], trace], axis=0)
+    keep0 = jnp.broadcast_to(pmask[None, None], (1,) + I_tok.shape)
+    keeps_per_step = jnp.concatenate([keep0, keeps], axis=0)
+    return tokens_per_step, keeps_per_step, final

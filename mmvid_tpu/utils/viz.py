@@ -33,10 +33,80 @@ def _cap_file(path: str, lines):
         f.write('\n'.join(lines))
 
 
+def render_visual_prompt(visual: np.ndarray, vc_mode=None,
+                         rand_visual: bool = False, rng=None):
+    """Occlude the displayed visual control to match what the model actually
+    sees under vc_mode / rand_visual (reference utils_train.py:456-520).
+
+    visual: [B, V, H, W, 3] in [0,1].  Returns (overlay, face_mode) — the
+    face_mode chosen here must be passed to generate_images so the token
+    corruption matches the rendered occlusion."""
+    import random as _random
+    r = (rng.random if rng is not None else _random.random)
+    vp = np.array(visual, copy=True)
+    face_mode = None
+    H = vp.shape[2]
+    bs = H // 8
+    if rand_visual:
+        vp[:, :, H // 2:, :, :] = 1.0
+    if vc_mode == 'face_8x8':
+        out = np.ones_like(vp)
+        if r() < 0.5:
+            face_mode = 'eyes_nose'
+            out[:, :, 2 * bs:5 * bs, 1 * bs:7 * bs] = \
+                vp[:, :, 2 * bs:5 * bs, 1 * bs:7 * bs]
+        else:
+            face_mode = 'mouth'
+            out[:, :, 5 * bs:7 * bs, 2 * bs:6 * bs] = \
+                vp[:, :, 5 * bs:7 * bs, 2 * bs:6 * bs]
+        vp = out
+    elif vc_mode == 'face2_8x8':
+        out = np.ones_like(vp)
+        out[:, 0] = vp[:, 0]
+        out[:, 1:, 2 * bs:6 * bs, 2 * bs:6 * bs] = \
+            vp[:, 1:, 2 * bs:6 * bs, 2 * bs:6 * bs]
+        face_mode = 'face2'
+        vp = out
+    elif vc_mode in ('mask_8x8', 'mask2_8x8'):
+        out = np.ones_like(vp)
+        out[:, :, 1 * bs:7 * bs, 1 * bs:7 * bs] = \
+            vp[:, :, 1 * bs:7 * bs, 1 * bs:7 * bs]
+        face_mode = 'mask2' if vc_mode == 'mask2_8x8' else 'mask'
+        vp = out
+    elif vc_mode == 'shape_4x4':
+        b4 = H // 4
+        vp[:, :, 1 * b4:3 * b4, 1 * b4:3 * b4] = 1.0
+        face_mode = 'shape'
+    return vp, face_mode
+
+
+def save_pnag_debug_grid(model, path: str, real_frames: np.ndarray,
+                         step_decodes: np.ndarray, step_keeps: np.ndarray):
+    """The reference's debug grid (utils_train.py:578-590 +
+    dalle_bert.py:694-700): row 0 = real frames, then per refinement step a
+    'masked input' row (previous decode blended with the re-mask overlay at
+    0.7/0.4) and the step's decode row.  real_frames/step_decodes in [0,1];
+    step_keeps [S, T*n] bool for ONE sample."""
+    cfg = model.cfg
+    n = cfg.image_fmap_size
+    scale = cfg.image_size // n
+    rows = [tile_video_row(real_frames), tile_video_row(step_decodes[0])]
+    for s in range(1, step_decodes.shape[0]):
+        remask = (~step_keeps[s]).reshape(cfg.num_targets, n, n)
+        overlay = np.kron(remask.astype(np.float32),
+                          np.ones((scale, scale), np.float32))[..., None]
+        masked_img = np.clip(step_decodes[s - 1] * 0.7 + overlay * 0.4,
+                             0, 1)
+        rows.append(tile_video_row(masked_img))
+        rows.append(tile_video_row(step_decodes[s]))
+    save_image_array(path, tile_grid(rows))
+
+
 def visualize_train(model, batch: Dict, key, out_dir: str, iteration: int,
                     *, n_per_sample: int = 2, mask_predict_steps=0,
                     mask_predict_steps1: int = 0, vc_mode=None,
-                    counterfactual: bool = False,
+                    rand_visual: bool = False, counterfactual: bool = False,
+                    debug: bool = False,
                     webpage: Optional[HTML] = None, mp_config=None):
     """Real / recon / generated (/counterfactual-control) grids
     (reference visualize_train/visualize_test, utils_train.py:391-1217).
@@ -45,6 +115,12 @@ def visualize_train(model, batch: Dict, key, out_dir: str, iteration: int,
     --mask_predict_steps 10 20 30, each generated row cycles through the
     list.  counterfactual=True adds a row conditioned on the NEIGHBOUR
     sample's visual control (batch roll) sampled with mask_predict_steps1.
+    With a visual control the grid rows lead with the control frames,
+    occluded per vc_mode/rand_visual so the viewer sees what the model saw
+    (render_visual_prompt, reference utils_train.py:456-520); the chosen
+    face_mode drives the matching token corruption.  debug=True
+    additionally writes per-step PNAG grids to <out_dir>/<iter>_pnag/
+    (reference --debug, utils_train.py:578-590).
     """
     os.makedirs(out_dir, exist_ok=True)
     text = jnp.asarray(batch['text'])
@@ -57,27 +133,52 @@ def visualize_train(model, batch: Dict, key, out_dir: str, iteration: int,
                   if isinstance(mask_predict_steps, (list, tuple))
                   else [mask_predict_steps])
 
-    rows = []
+    rows = []          # each: (gen_videos [B,T,H,W,3], prompt or None)
     captions = batch.get('description',
                          [''] * text.shape[0])
 
     recon = model.recon_images(target)
+    prompt = visual_recon = None
+    face_mode = None
+    if visual is not None:
+        visual_recon = np.asarray(
+            model.recon_images(visual, which_vae='cvae'))
+        prompt, face_mode = render_visual_prompt(
+            np.asarray(visual), vc_mode=vc_mode, rand_visual=rand_visual)
     for j in range(n_per_sample):
         key, k = jax.random.split(key)
         videos, _ = model.generate_images(
-            k, text, visual=visual, vc_mode=vc_mode,
+            k, text, visual=visual, erase_visual=rand_visual,
+            vc_mode=vc_mode, face_mode=face_mode,
             mask_predict_steps=steps_list[j % len(steps_list)],
             dynamic=True, mp_config=mp_config)
-        rows.append(np.asarray(videos))
+        rows.append((np.asarray(videos), prompt))
+
+    if debug:
+        pnag_dir = os.path.join(out_dir, f'{iteration:07d}_pnag')
+        os.makedirs(pnag_dir, exist_ok=True)
+        key, k = jax.random.split(key)
+        _, _, step_decodes, step_keeps = model.generate_images_debug(
+            k, text, visual=visual, erase_visual=rand_visual,
+            vc_mode=vc_mode, face_mode=face_mode,
+            mask_predict_steps=steps_list[0], mp_config=mp_config)
+        for i in range(text.shape[0]):
+            save_pnag_debug_grid(
+                model, os.path.join(pnag_dir, f'{i:02d}.png'),
+                np.asarray(target[i]), step_decodes[:, i],
+                step_keeps[:, i])
 
     if counterfactual and visual is not None:
         # counterfactual: the NEIGHBOUR sample's control
         key, k = jax.random.split(key)
+        cf_visual = jnp.roll(visual, 1, axis=0)
+        cf_prompt, cf_face = render_visual_prompt(
+            np.asarray(cf_visual), vc_mode=vc_mode, rand_visual=rand_visual)
         videos, _ = model.generate_images(
-            k, text, visual=jnp.roll(visual, 1, axis=0), vc_mode=vc_mode,
+            k, text, visual=cf_visual, vc_mode=vc_mode, face_mode=cf_face,
             mask_predict_steps=mask_predict_steps1, dynamic=True,
             mp_config=mp_config)
-        rows.append(np.asarray(videos))
+        rows.append((np.asarray(videos), cf_prompt))
         # free-form: no visual control at all (fully-masked visual row,
         # reference visualize_test's "free" samples)
         key, k = jax.random.split(key)
@@ -85,18 +186,26 @@ def visualize_train(model, batch: Dict, key, out_dir: str, iteration: int,
             k, text, visual=None,
             mask_predict_steps=mask_predict_steps1, dynamic=True,
             mp_config=mp_config)
-        rows.append(np.asarray(videos))
+        rows.append((np.asarray(videos), None))
+
+    def _row(i, frames, vis):
+        if vis is None:
+            return tile_video_row(frames)
+        return tile_video_row(np.concatenate([vis[i], frames], axis=0))
 
     for i in range(text.shape[0]):
-        grid_rows = [tile_video_row(np.asarray(target[i]))]
-        grid_rows.append(tile_video_row(np.asarray(recon[i])))
-        for r in rows:
-            grid_rows.append(tile_video_row(r[i]))
+        grid_rows = [_row(i, np.asarray(target[i]),
+                          np.asarray(visual) if visual is not None
+                          else None)]
+        grid_rows.append(_row(i, np.asarray(recon[i]), visual_recon))
+        for videos, vis in rows:
+            grid_rows.append(_row(i, videos[i], vis))
         grid = tile_grid(grid_rows)
         save_image_array(
             os.path.join(out_dir, f'{iteration:07d}_{i}.png'), grid)
         if webpage is not None:
-            name = webpage.save_media(f'{iteration:07d}_{i}.gif', rows[0][i])
+            name = webpage.save_media(f'{iteration:07d}_{i}.gif',
+                                      rows[0][0][i])
             webpage.add_media_row([(name, captions[i])])
     _cap_file(os.path.join(out_dir, f'{iteration:07d}_captions.txt'),
               list(captions))

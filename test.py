@@ -171,7 +171,9 @@ def main_worker(args):
                     mask_predict_steps=args.mask_predict_steps,
                     mask_predict_steps1=args.mask_predict_steps1,
                     vc_mode=args.vc_mode,
+                    rand_visual=args.rand_visual,
                     counterfactual=(args.num_visuals > 0),
+                    debug=getattr(args, 'debug', False),
                     webpage=webpage, mp_config=args.mp_config)
     print(f'wrote samples to {log_dir / "samples"}')
 

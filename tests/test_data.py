@@ -158,3 +158,35 @@ def test_pcfg_generation():
 
     rand_sents = pcfg.generate_random_sentences(n_attr=8, n_sent=4)
     assert len(rand_sents) == 4 and all(s for s in rand_sents)
+
+
+def test_vox_cat1_getitem(vox_tree, tok):
+    """attr_mode='cat1' returns an attribute-prompt batch directly from
+    __getitem__ (loader_ext.py:469-487)."""
+    male = pcfg.ATTR.index('Male')
+    ds = VoxDataset(str(vox_tree), attr_mode='cat1', cat1=[male, 39],
+                    text_len=30, image_size=32, truncate_captions=True,
+                    tokenizer=tok, frame_num=4, frame_step=2,
+                    cache=str(vox_tree / 'c1.pkl'))
+    s = ds[0]
+    assert s['target'].shape == (2, 4, 32, 32, 3)
+    assert s['text'].shape[0] == 2
+    assert ds[1]['target'].shape == (2, 4, 32, 32, 3)
+
+
+def test_vox_cat2_getitem(vox_tree, tok):
+    """attr_mode='cat2': five fixed attribute prompts (gender/young/bald/
+    eyeglasses/chubby), one clip each (loader_ext.py:488-543)."""
+    ds = VoxDataset(str(vox_tree), attr_mode='cat2', text_len=30,
+                    image_size=32, truncate_captions=True, tokenizer=tok,
+                    frame_num=4, frame_step=2,
+                    cache=str(vox_tree / 'c1.pkl'))
+    s0, s1 = ds[0], ds[1]
+    assert s0['target'].shape == (5, 4, 32, 32, 3)
+    assert s0['text'].shape[0] == 5
+    # gender phrasing alternates with ind parity ('A boy.' vs 'A guy.';
+    # every fixture identity is Male via label col 20)
+    assert not np.array_equal(s0['text'][0], s1['text'][0])
+    # the four fixed prompts are parity-independent
+    for row in range(1, 5):
+        assert np.array_equal(s0['text'][row], s1['text'][row])

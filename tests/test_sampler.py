@@ -151,10 +151,14 @@ def test_mask_predict_trace(tiny_core):
     control = _control(core, params, batch=2)
     pmask, N = preserve_layout(core.cfg, 'long', 1, False)
     spec = build_spec(DEFAULT_MP_CONFIG, N, steps=4, dynamic=False)
-    trace, final = mask_predict_trace(core, params, control,
-                                      jax.random.PRNGKey(5), spec, pmask)
-    trace = np.asarray(trace)
+    trace, keeps, final = mask_predict_trace(core, params, control,
+                                             jax.random.PRNGKey(5), spec,
+                                             pmask)
+    trace, keeps = np.asarray(trace), np.asarray(keeps)
     assert trace.shape == (4, 2, 128)  # step 0 + 3 refinement steps
+    assert keeps.shape == (4, 2, 128) and keeps.dtype == bool
+    assert not keeps[0].any()          # no preserve: everything starts masked
+    assert keeps[1:].any(axis=(1, 2)).all()  # refinement keeps some tokens
     np.testing.assert_array_equal(trace[-1], np.asarray(final))
     assert trace.max() < 1024
 

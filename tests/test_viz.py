@@ -1,0 +1,96 @@
+"""Visualization: occlusion overlays, sample grids, PNAG debug grids
+(reference utils/utils_train.py:391-1217, 456-520, 578-590)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mmvid_tpu.models.bert import BertConfig
+from mmvid_tpu.models.clip import ClipStackConfig
+from mmvid_tpu.models.mmvid import MMVIDBert
+from mmvid_tpu.models.vqgan import VQGanConfig, VQGanVAE
+from mmvid_tpu.utils.viz import render_visual_prompt, visualize_train
+
+
+@pytest.fixture(scope='module')
+def tiny_visual_model():
+    vq_cfg = VQGanConfig(resolution=16, ch=32, ch_mult=(1, 2),
+                         num_res_blocks=1, z_channels=64, embed_dim=64,
+                         n_embed=1024, attn_resolutions=())
+    vae = VQGanVAE(image_size=16, cfg=vq_cfg)
+    cfg = BertConfig(dim=64, num_text_tokens=100, text_seq_len=8,
+                     num_visuals=1, num_targets=2, num_image_tokens=1024,
+                     image_fmap_size=8, image_size=16,
+                     clip=ClipStackConfig(width=64, layers=2, heads=2))
+    return MMVIDBert(cfg, vae)
+
+
+def test_render_visual_prompt_modes():
+    """Occlusion regions match reference utils_train.py:456-520 (NHWC)."""
+    rng = np.random.RandomState(0)
+    v = rng.uniform(0, 0.5, (1, 2, 128, 128, 3)).astype(np.float32)
+
+    out, fm = render_visual_prompt(v, rand_visual=True)
+    assert fm is None
+    assert (out[:, :, 64:] == 1.0).all() and (out[:, :, :64] == v[:, :, :64]).all()
+
+    out, fm = render_visual_prompt(v, vc_mode='face_8x8')
+    assert fm in ('eyes_nose', 'mouth')
+    if fm == 'eyes_nose':
+        kept = out[:, :, 32:80, 16:112]
+        assert np.array_equal(kept, v[:, :, 32:80, 16:112])
+        assert (out[:, :, :32] == 1.0).all()
+    else:
+        kept = out[:, :, 80:112, 32:96]
+        assert np.array_equal(kept, v[:, :, 80:112, 32:96])
+        assert (out[:, :, :80] == 1.0).all()
+
+    out, fm = render_visual_prompt(v, vc_mode='face2_8x8')
+    assert fm == 'face2'
+    assert np.array_equal(out[:, 0], v[:, 0])          # frame 0 untouched
+    assert (out[:, 1:, :32] == 1.0).all()
+    assert np.array_equal(out[:, 1:, 32:96, 32:96], v[:, 1:, 32:96, 32:96])
+
+    out, fm = render_visual_prompt(v, vc_mode='mask_8x8')
+    assert fm == 'mask'
+    assert np.array_equal(out[:, :, 16:112, 16:112], v[:, :, 16:112, 16:112])
+    assert (out[:, :, :16] == 1.0).all()
+
+    out, fm = render_visual_prompt(v, vc_mode='shape_4x4')
+    assert fm == 'shape'
+    assert (out[:, :, 32:96, 32:96] == 1.0).all()
+    assert np.array_equal(out[:, :, :32], v[:, :, :32])
+
+
+def test_visualize_train_with_visual_and_debug(tiny_visual_model, tmp_path):
+    """Grid rows lead with the (occluded) control frames; --debug writes
+    per-step PNAG grids."""
+    model = tiny_visual_model
+    rng = np.random.RandomState(2)
+    b = 2
+    batch = {
+        'text': rng.randint(1, 100, (b, 8)).astype(np.int32),
+        'target': rng.uniform(0, 1, (b, 2, 16, 16, 3)).astype(np.float32),
+        'visual': rng.uniform(0, 1, (b, 1, 16, 16, 3)).astype(np.float32),
+        'description': ['a', 'b'],
+    }
+    out = str(tmp_path / 'samples')
+    visualize_train(model, batch, jax.random.PRNGKey(0), out, 5,
+                    n_per_sample=1, mask_predict_steps=3,
+                    mask_predict_steps1=2, vc_mode='face_8x8',
+                    counterfactual=True, debug=True)
+    files = sorted(os.listdir(out))
+    assert '0000005_0.png' in files and '0000005_1.png' in files
+    assert '0000005_captions.txt' in files
+    pnag = os.path.join(out, '0000005_pnag')
+    assert os.path.isdir(pnag)
+    assert sorted(os.listdir(pnag)) == ['00.png', '01.png']
+
+    # the grid leads with V control frames: width = (V + T) * W
+    from PIL import Image
+    img = Image.open(os.path.join(out, '0000005_0.png'))
+    assert img.width == (1 + 2) * 16

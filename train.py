@@ -253,8 +253,8 @@ def main_worker(args):
                 model, batch, k, str(log_sample_dir), idx,
                 n_per_sample=min(args.n_per_sample, 2),
                 mask_predict_steps=args.mask_predict_steps[0],
-                vc_mode=args.vc_mode, webpage=webpage,
-                mp_config=args.mp_config)
+                vc_mode=args.vc_mode, rand_visual=args.rand_visual,
+                webpage=webpage, mp_config=args.mp_config)
 
     if is_root():
         save_checkpoint(str(log_dir), args.iters, ckpt_tree(args.iters),
