@@ -14,8 +14,12 @@ whole batch advances together inside a single `lax.while_loop`:
 * the per-sample dynamic stop (score not improving for 5 steps, :701-707)
   becomes per-lane bookkeeping (best score / best tokens / last-improvement
   step); the while_loop exits when every lane has terminated;
-* beams run as an inner `lax.scan` preserving the reference's *sequential*
-  beam semantics (beam j+1 sees beam j's Y/I updates, :646-691).
+* beams: the reference samples ALL B re-mask patterns and inputs from the
+  PRE-round Y/I_tok (:646-668), so the B transformer forwards are mutually
+  independent — they run as ONE batched forward (beams folded into the
+  batch axis); only the cheap elementwise Y/I update chain is sequential
+  (beam j+1's update composes on beam j's, :675-691), reproduced by a
+  `lax.scan` over precomputed per-beam results.
 
 Long-video modes (`long` / `interp*`) enter through a static preserve layout
 (dalle_bert.py:543-583): preserved token positions never re-mask and never
@@ -142,6 +146,30 @@ def build_spec(mp_config: Dict, N: int, steps: int = 0,
                            int(mp_config.get('B', 1)), dynamic)
 
 
+def chain_beam_updates(Y, I_tok, keep_all, Y_new_all, I_new_all, S_all):
+    """Sequential beam chaining + best-beam selection
+    (dalle_bert.py:675-693): beam j's Y/I update composes on beam j-1's
+    chained state; the returned state is the chained value AT the
+    highest-scoring beam (not the fully-chained end state).
+
+    Y, I_tok: [b, N] pre-round state.  keep_all/Y_new_all/I_new_all:
+    [J, b, N] per-beam keep masks and freshly-sampled values (all drawn
+    from the pre-round state).  S_all: [J, b] beam scores.
+    Returns (S_best [b], Y_best [b,N], I_best [b,N])."""
+    def chain(carry, inp):
+        Yc, Ic = carry
+        keep_j, Yn, In = inp
+        Yc = jnp.where(keep_j, Yc, Yn)
+        Ic = jnp.where(keep_j, Ic, In)
+        return (Yc, Ic), (Yc, Ic)
+
+    (_, _), (Y_all, I_all) = jax.lax.scan(
+        chain, (Y, I_tok), (keep_all, Y_new_all, I_new_all))
+    jbest = jnp.argmax(S_all, axis=0)                   # [b]
+    bidx = jnp.arange(Y.shape[0])
+    return S_all[jbest, bidx], Y_all[jbest, bidx], I_all[jbest, bidx]
+
+
 def mask_predict(core, params, control_emb, key, spec: MaskPredictSpec,
                  preserve_mask: np.ndarray,
                  preserve_tokens: Optional[jax.Array] = None):
@@ -167,11 +195,16 @@ def mask_predict(core, params, control_emb, key, spec: MaskPredictSpec,
     N = int(n_total - preserve_mask.sum())      # static re-maskable count
 
     def forward(tokens, remask):
-        """tokens [B,N] current; remask [B,N] bool True=re-masked to [MASK]."""
+        """tokens [B',N] current; remask [B',N] bool True=re-masked to
+        [MASK].  B' may be J*b (beams folded J-major into the batch axis);
+        the control embedding is tiled to match."""
         tok_in = jnp.where(remask, cfg.mask_token, tokens)
         target_emb = core.apply({'params': params}, tok_in,
                                 method=BertCore.target_embedding)
-        logits, rel, vid, _ = core.apply({'params': params}, control_emb,
+        reps = tok_in.shape[0] // control_emb.shape[0]
+        ctrl = control_emb if reps == 1 else jnp.tile(control_emb,
+                                                      (reps, 1, 1))
+        logits, rel, vid, _ = core.apply({'params': params}, ctrl,
                                          target_emb,
                                          method=BertCore.forward_full)
         return logits, rel, vid
@@ -185,26 +218,31 @@ def mask_predict(core, params, control_emb, key, spec: MaskPredictSpec,
     # preserved slots never resample: pin their confidence high
     Y = jnp.where(pmask[None], jnp.inf, Y)
 
-    def beam_step(carry, key_t_temp):
-        """One beam pass (sequential semantics, dalle_bert.py:646-691)."""
-        (Y, I_tok, t) = carry
-        key_j, = key_t_temp
-        k1, k2 = jax.random.split(key_j)
+    def beams_round(Y, I_tok, t, key_t):
+        """One refinement round over all J beams (dalle_bert.py:646-693).
+        All J re-mask patterns + forwards come from the PRE-round Y/I_tok,
+        so the J transformer calls fold into one batched forward."""
+        J = spec.beams
+        k1, k2 = jax.random.split(key_t)
         k_keep = N - n_sched[t - 1]             # tokens to KEEP this step
-        # Gumbel top-k weighted sample w/o replacement over Y
-        scores = jnp.log(jnp.maximum(Y, 1e-30)) + _gumbel(k1, Y.shape)
-        scores = jnp.where(pmask[None], jnp.inf, scores)
-        order = jnp.argsort(-scores, axis=-1)
-        ranks = jnp.argsort(order, axis=-1)
-        keep = ranks < (k_keep + int(preserve_mask.sum()))
-        keep = keep | pmask[None]
+        # J independent Gumbel top-k weighted samples w/o replacement over Y
+        scores = (jnp.log(jnp.maximum(Y, 1e-30))[None]
+                  + _gumbel(k1, (J,) + Y.shape))
+        scores = jnp.where(pmask[None, None], jnp.inf, scores)
+        ranks = jnp.argsort(jnp.argsort(-scores, axis=-1), axis=-1)
+        keep_all = (ranks < (k_keep + int(preserve_mask.sum()))) \
+            | pmask[None, None]                 # [J, b, N]
 
-        logits, rel, vid = forward(I_tok, ~keep)
+        logits, rel, vid = forward(
+            jnp.broadcast_to(I_tok[None], (J,) + I_tok.shape
+                             ).reshape(J * b, -1),
+            (~keep_all).reshape(J * b, -1))
         Y_new, I_new = _sample_multinomial(k2, logits, temp_sched[t])
-        Y_out = jnp.where(keep, Y, Y_new)
-        I_out = jnp.where(keep, I_tok, I_new)
-        S = (jax.nn.sigmoid(rel) + jax.nn.sigmoid(vid)) * 0.5   # [B]
-        return (Y_out, I_out, t), (S, Y_out, I_out)
+        S_all = ((jax.nn.sigmoid(rel) + jax.nn.sigmoid(vid)) * 0.5
+                 ).reshape(J, b)
+        return chain_beam_updates(Y, I_tok, keep_all,
+                                  Y_new.reshape(J, b, -1),
+                                  I_new.reshape(J, b, -1), S_all)
 
     def cond(state):
         t, _, _, _, _, tmax, _ = state
@@ -219,21 +257,8 @@ def mask_predict(core, params, control_emb, key, spec: MaskPredictSpec,
 
     def body(state):
         t, key, Y, I_tok, Smax, tmax, Imax = state
-        key, *beam_keys = jax.random.split(key, spec.beams + 1)
-
-        if spec.beams == 1:
-            (Y_b, I_b, _), (S, _, _) = beam_step(
-                (Y, I_tok, t), (beam_keys[0],))
-            S_best, Y_best, I_best = S, Y_b, I_b
-        else:
-            (_, _, _), (S_all, Y_all, I_all) = jax.lax.scan(
-                beam_step, (Y, I_tok, t),
-                (jnp.stack(beam_keys),))
-            jbest = jnp.argmax(S_all, axis=0)                    # [B]
-            bidx = jnp.arange(b)
-            S_best = S_all[jbest, bidx]
-            Y_best = Y_all[jbest, bidx]
-            I_best = I_all[jbest, bidx]
+        key, key_t = jax.random.split(key)
+        S_best, Y_best, I_best = beams_round(Y, I_tok, t, key_t)
 
         active = (t - tmax) <= spec.patience if spec.dynamic else \
             jnp.ones((b,), bool)

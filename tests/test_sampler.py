@@ -219,3 +219,57 @@ def test_generate_images_long_chunking():
                                     long_mode='long', decode=False)
     np.testing.assert_array_equal(np.asarray(seq2[:, :64]),
                                   np.asarray(seq1[:, -64:]))
+
+
+def test_chain_beam_updates_matches_reference_semantics():
+    """chain_beam_updates must reproduce dalle_bert.py:675-693 exactly:
+    beam j's update composes on beam j-1's chained state; the selected
+    state is the chained value AT the best beam."""
+    from mmvid_tpu.models.sampler import chain_beam_updates
+    rng = np.random.RandomState(0)
+    J, b, N = 3, 2, 5
+    Y0 = rng.uniform(size=(b, N)).astype(np.float32)
+    I0 = rng.randint(0, 100, (b, N)).astype(np.int32)
+    keep = rng.rand(J, b, N) < 0.5
+    Yn = rng.uniform(size=(J, b, N)).astype(np.float32)
+    In = rng.randint(0, 100, (J, b, N)).astype(np.int32)
+    S = rng.uniform(size=(J, b)).astype(np.float32)
+
+    # straight python port of the reference chaining
+    Y, I = Y0.copy(), I0.copy()
+    YB, IB = [], []
+    for j in range(J):
+        Y = np.where(keep[j], Y, Yn[j])
+        I = np.where(keep[j], I, In[j])
+        YB.append(Y.copy())
+        IB.append(I.copy())
+    jmax = S.argmax(axis=0)
+    exp_S = S[jmax, np.arange(b)]
+    exp_Y = np.stack([YB[jmax[i]][i] for i in range(b)])
+    exp_I = np.stack([IB[jmax[i]][i] for i in range(b)])
+
+    got_S, got_Y, got_I = chain_beam_updates(
+        jnp.asarray(Y0), jnp.asarray(I0), jnp.asarray(keep),
+        jnp.asarray(Yn), jnp.asarray(In), jnp.asarray(S))
+    np.testing.assert_allclose(np.asarray(got_S), exp_S, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_Y), exp_Y, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_I), exp_I)
+
+
+def test_mask_predict_beams(tiny_core):
+    """B=3 beams: valid tokens, deterministic per key, differs from B=1."""
+    core, params = tiny_core
+    control = _control(core, params, batch=2)
+    pmask, N = preserve_layout(core.cfg, 'long', 1, False)
+    cfg3 = dict(DEFAULT_MP_CONFIG, B=3)
+    spec3 = build_spec(cfg3, N, steps=6, dynamic=True)
+    spec1 = build_spec(DEFAULT_MP_CONFIG, N, steps=6, dynamic=True)
+    t3 = np.asarray(mask_predict(core, params, control,
+                                 jax.random.PRNGKey(9), spec3, pmask))
+    t3b = np.asarray(mask_predict(core, params, control,
+                                  jax.random.PRNGKey(9), spec3, pmask))
+    t1 = np.asarray(mask_predict(core, params, control,
+                                 jax.random.PRNGKey(9), spec1, pmask))
+    assert t3.shape == (2, 128) and t3.max() < 1024
+    np.testing.assert_array_equal(t3, t3b)
+    assert not np.array_equal(t3, t1)
