@@ -45,8 +45,21 @@ def evaluate(args, model, dl_iter, i3d_variables=None, key=None,
 
     i3d = I3D()
     if i3d_variables is None:
-        # random-weight I3D still exercises the full pipeline; numbers are
-        # NOT comparable to the reference without converted kinetics weights
+        # A random-weight I3D produces MEANINGLESS FVD/PRD numbers; refuse
+        # unless the caller explicitly opts in (pipeline tests), so nobody
+        # mistakes a smoke run for a measurement.
+        if not (getattr(args, 'allow_random_i3d', False)
+                or os.environ.get('MMVID_ALLOW_RANDOM_I3D')):
+            raise RuntimeError(
+                'No I3D weights: set I3D_CHECKPOINT=<converted kinetics '
+                'checkpoint> (see mmvid_tpu.eval.i3d.load_i3d_checkpoint) '
+                'to compute a real FVD, or set MMVID_ALLOW_RANDOM_I3D=1 '
+                'to run the pipeline with random weights (numbers NOT '
+                'comparable to the reference).')
+        import warnings
+        warnings.warn('evaluate(): running with RANDOM I3D weights — '
+                      'FVD/PRD numbers are not comparable to the reference.',
+                      stacklevel=2)
         i3d_variables = i3d.init(jax.random.PRNGKey(0),
                                  jnp.zeros((1, video_length, 224, 224, 3)))
 

@@ -21,13 +21,42 @@ import jax
 import jax.numpy as jnp
 
 
+def tf1_resize_bilinear(images: jax.Array, th: int, tw: int) -> jax.Array:
+    """TF1 legacy bilinear resize (align_corners=False,
+    half_pixel_centers=False): src = dst * (in/out), edges clamped.
+
+    The reference FVD preprocess uses tf.image.resize_bilinear with TF1
+    defaults (frechet_video_distance.py:47-48), which is NOT the half-pixel
+    mapping jax.image.resize implements — FVD is sensitive to exactly this
+    kind of preprocessing detail (SURVEY.md §7 hard part 4)."""
+    b, h, w, c = images.shape
+    ys = jnp.arange(th, dtype=jnp.float32) * (h / th)
+    xs = jnp.arange(tw, dtype=jnp.float32) * (w / tw)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[None, :, None, None]
+    wx = (xs - x0)[None, None, :, None]
+
+    def ix(rows):
+        a = jnp.take(rows, x0, axis=2)
+        b_ = jnp.take(rows, x1, axis=2)
+        return a * (1.0 - wx) + b_ * wx
+
+    top = ix(jnp.take(images, y0, axis=1))
+    bot = ix(jnp.take(images, y1, axis=1))
+    return top * (1.0 - wy) + bot * wy
+
+
 def preprocess_videos(videos: jax.Array,
                       target_resolution=(224, 224)) -> jax.Array:
-    """[B,T,H,W,3] in [0,1] -> [B,T,224,224,3] in [-1,1] (bilinear)."""
+    """[B,T,H,W,3] in [0,1] -> [B,T,224,224,3] in [-1,1] (TF1-legacy
+    bilinear, matching the reference graph exactly)."""
     b, t, h, w, c = videos.shape
     th, tw = target_resolution
     flat = videos.reshape(b * t, h, w, c)
-    resized = jax.image.resize(flat, (b * t, th, tw, c), method='bilinear')
+    resized = tf1_resize_bilinear(flat, th, tw)
     return resized.reshape(b, t, th, tw, c) * 2.0 - 1.0
 
 

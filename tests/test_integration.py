@@ -86,6 +86,11 @@ def test_evaluate_pipeline_end_to_end(model, tmp_path):
         log_metric_dir=str(tmp_path / 'metrics'), seed=0, num_targets=2,
         eval_num=4, batch_size=2, mask_predict_steps=[2],
         pnag_dynamic=False, mp_config=DEFAULT_MP_CONFIG)
+    # without I3D weights and without the explicit opt-in, evaluate refuses
+    import pytest
+    with pytest.raises(RuntimeError, match='I3D'):
+        evaluate(args, model, batches(), metrics=('fvd',))
+    args.allow_random_i3d = True
     results = evaluate(args, model, batches(), metrics=('fvd', 'prd'))
     assert np.isfinite(results['fvd'])
     f8, f18 = results['prd']
