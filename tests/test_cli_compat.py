@@ -10,6 +10,8 @@ import pytest
 
 from mmvid_tpu.config import process_args
 
+pytestmark = pytest.mark.quick
+
 SCRIPTS = Path(__file__).resolve().parent.parent / 'scripts' / 'mmvoxceleb'
 
 

@@ -15,6 +15,8 @@ from mmvid_tpu.utils.html import (
     tile_video_row,
 )
 
+pytestmark = pytest.mark.quick
+
 
 def test_tile_video_row_and_grid():
     frames = np.random.rand(3, 8, 8, 3).astype(np.float32)

@@ -15,6 +15,8 @@ from mmvid_tpu.models.masking import (
     sample_msm_mask,
 )
 
+pytestmark = pytest.mark.quick
+
 CFG = BertConfig(dim=64, num_text_tokens=100, text_seq_len=8,
                  num_visuals=2, num_targets=8, num_image_tokens=1024,
                  image_fmap_size=8, image_size=128,

@@ -38,6 +38,7 @@ def reference_schedules(mp, N, steps=0):
     return list(map(int, n))[:Tmax], temp[:Tmax], Tmax
 
 
+@pytest.mark.quick
 def test_schedules_match_reference_formula():
     n, temp, Tmax = make_schedules(DEFAULT_MP_CONFIG, N=512, steps=0)
     n_ref, temp_ref, Tmax_ref = reference_schedules(DEFAULT_MP_CONFIG, 512)
@@ -49,6 +50,7 @@ def test_schedules_match_reference_formula():
     assert T2 == 30 and len(n2) == 30
 
 
+@pytest.mark.quick
 def test_gumbel_topk_matches_weighted_sampling_without_replacement():
     """Inclusion frequencies of top-k(log w + G) must match sequential
     weighted sampling w/o replacement (what torch.multinomial does)."""
@@ -75,6 +77,7 @@ def test_gumbel_topk_matches_weighted_sampling_without_replacement():
     np.testing.assert_allclose(emp, incl, atol=0.02)
 
 
+@pytest.mark.quick
 def test_preserve_layouts():
     cfg = TINY_CFG  # 2 frames x 64 tokens
     m, N = preserve_layout(cfg, 'long', t_overlap=1, has_preserve=True)
@@ -221,6 +224,7 @@ def test_generate_images_long_chunking():
                                   np.asarray(seq1[:, -64:]))
 
 
+@pytest.mark.quick
 def test_chain_beam_updates_matches_reference_semantics():
     """chain_beam_updates must reproduce dalle_bert.py:675-693 exactly:
     beam j's update composes on beam j-1's chained state; the selected

@@ -10,6 +10,8 @@ from mmvid_tpu.tokenizer import SimpleTokenizer
 
 from oracles import install_reference
 
+pytestmark = pytest.mark.quick
+
 CAPTIONS = [
     "A person with appearance in image one and mask in image two is talking.",
     "the woman has wavy hair and wears lipstick, she is smiling",

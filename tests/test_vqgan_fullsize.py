@@ -12,6 +12,8 @@ from mmvid_tpu.utils.torch_compat import convert_vqgan
 
 from oracles import install_reference
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.slow
 def test_fullsize_vqgan_parity():

@@ -14,6 +14,8 @@ from mmvid_tpu.models.warp import (
     warp_video_with_color,
 )
 
+pytestmark = pytest.mark.quick
+
 
 def _video(b=4, t=4, s=8):
     rng = np.random.RandomState(0)
