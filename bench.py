@@ -29,6 +29,10 @@ def main():
     # layout-preserving fused attention kernel (mmvid_tpu.ops.attention):
     # 255 -> 336 frames/sec/chip measured on v5e
     os.environ.setdefault('MMVID_PALLAS_ATTN', '1')
+    # fused to_logits + Gumbel sampling epilogue (mmvid_tpu.ops.sample_head):
+    # 367 -> 378 f/s on top of the seq-576 padding (validated on HW by
+    # scripts/check_sample_head_tpu.py)
+    os.environ.setdefault('MMVID_PALLAS_SAMPLER', '1')
 
     import jax
     import jax.numpy as jnp

@@ -53,16 +53,21 @@ def get_fixed_language_model(args):
     from transformers import AutoTokenizer, FlaxRobertaModel
     path = os.environ.get('ROBERTA_PATH', 'roberta-large')
     tok = AutoTokenizer.from_pretrained(path)
-    model = FlaxRobertaModel.from_pretrained(path)
+    try:
+        model = FlaxRobertaModel.from_pretrained(path)
+    except (OSError, EnvironmentError, ValueError):
+        # torch-format checkpoint (pytorch_model.bin / model.safetensors)
+        model = FlaxRobertaModel.from_pretrained(path, from_pt=True)
 
     def encode(texts):
         enc = tok(texts, padding=True, truncation=True, max_length=128,
                   return_tensors='np')
-        out = model(**enc).last_hidden_state  # [B, L, 1024]
+        out = model(**enc).last_hidden_state  # [B, L, H]
         mask = enc['attention_mask'][..., None]
         return np.asarray((out * mask).sum(1) / mask.sum(1))
 
-    return encode, 1024
+    # 1024 for roberta-large (utils/utils_train.py:194-222)
+    return encode, model.config.hidden_size
 
 
 def get_vae_model(args, which_vae='vae', image_size: Optional[int] = None

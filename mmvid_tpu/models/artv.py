@@ -321,7 +321,15 @@ class ArtvModel:
         return imgs.reshape((b, self.cfg.num_targets) + imgs.shape[1:])
 
     def recon_images(self, images, which_vae='vae'):
-        return self.decode_video(self.get_image_tokens(images, which_vae))
+        """Tokenize + decode round-trip for any frame count (visual
+        controls have num_visuals frames, not num_targets)."""
+        toks = self.get_image_tokens(images, which_vae)
+        vae = self.cvae if (which_vae == 'cvae' and self.cvae is not None) \
+            else self.vae
+        b = toks.shape[0]
+        t = toks.shape[1] // self.cfg.image_seq_len
+        imgs = vae.decode(toks.reshape(b * t, self.cfg.image_seq_len))
+        return imgs.reshape((b, t) + imgs.shape[1:])
 
 
 # ---------------------------------------------------------------------------

@@ -266,13 +266,29 @@ class BertCore(nn.Module):
         """Full-sequence forward with the mask_prev attention mask
         (dalle_bert.py:489-494).  Shorter sequences (the negvc negative
         control drops the visual segment) get the full-layout mask sliced
-        [:L, :L], exactly like the reference (clip_model.py:219-221)."""
+        [:L, :L], exactly like the reference (clip_model.py:219-221).
+
+        TPU: the sequence is padded ONCE here to a multiple of 64 (565 ->
+        576 for the flagship layout) so every matmul and fusion in the
+        stack sees aligned shapes; padded keys carry an additive -inf so
+        real rows are numerically unchanged, and pad rows are sliced off
+        before the output heads."""
+        from mmvid_tpu.models.clip import NEG_INF
         cfg = self.cfg
         mask = build_attention_mask(
             cfg.total_seq_len, 'mask_prev',
             index=(cfg.st1_tok_index, cfg.vid_tok_index))
         L = tokens_emb.shape[1]
-        out = self.transformer(tokens_emb, mask[:L, :L])
+        mask = mask[:L, :L]
+        Lp = -(-L // 64) * 64
+        if Lp != L:
+            tokens_emb = jnp.pad(tokens_emb,
+                                 ((0, 0), (0, Lp - L), (0, 0)))
+            mask = jnp.pad(mask, ((0, Lp - L), (0, Lp - L)),
+                           constant_values=NEG_INF)
+        out = self.transformer(tokens_emb, mask)
+        if Lp != L:
+            out = out[:, :L]
         if cfg.stable:
             out = out / jnp.max(out, axis=-1, keepdims=True)
         return out
@@ -300,6 +316,20 @@ class BertCore(nn.Module):
         logit_rel = self.to_logits_rel(out[:, cfg.rel_tok_index, :])[..., 0]
         logit_vid = self.to_logits_vid(out[:, cfg.vid_tok_index, :])[..., 0]
         return logits_msm, logit_rel, logit_vid, out
+
+    def forward_hidden(self, control_emb, target_emb):
+        """Like forward_full but returns the RAW target hidden states
+        instead of MSM logits — the fused sampling epilogue
+        (mmvid_tpu.ops.sample_head) applies the to_logits head itself so
+        the [B, N, vocab] logits never round-trip through HBM."""
+        cfg = self.cfg
+        tokens = jnp.concatenate(
+            [control_emb, target_emb.astype(jnp.float32)], axis=1)
+        out = self.transformer_forward(tokens)
+        out_target = out[:, cfg.control_seq_len:, :]
+        logit_rel = self.to_logits_rel(out[:, cfg.rel_tok_index, :])[..., 0]
+        logit_vid = self.to_logits_vid(out[:, cfg.vid_tok_index, :])[..., 0]
+        return out_target, logit_rel, logit_vid
 
     def forward_rel_logit(self, control_emb, target_emb):
         """REL-head logit only — used for the negvc negative forward whose

@@ -180,6 +180,8 @@ def mask_predict(core, params, control_emb, key, spec: MaskPredictSpec,
     preserve_tokens [B, N_total] (tokens at preserved slots; ignored where
     preserve_mask is False).  Returns tokens [B, N_total] int32.
     """
+    import os
+
     from mmvid_tpu.models.bert import BertCore
 
     cfg = core.cfg
@@ -194,26 +196,56 @@ def mask_predict(core, params, control_emb, key, spec: MaskPredictSpec,
     temp_sched = jnp.asarray(spec.temp_sched, jnp.float32)
     N = int(n_total - preserve_mask.sum())      # static re-maskable count
 
+    # Fused head+sampling epilogue (TPU): the forward returns raw hidden
+    # rows and the Pallas kernel applies LN + vocab matmul + Gumbel
+    # sampling in VMEM, so no [B, N, vocab] logits reach HBM.
+    use_kernel = (os.environ.get('MMVID_PALLAS_SAMPLER') == '1'
+                  and cfg.num_image_tokens % 128 == 0)
+
     def forward(tokens, remask):
         """tokens [B',N] current; remask [B',N] bool True=re-masked to
         [MASK].  B' may be J*b (beams folded J-major into the batch axis);
-        the control embedding is tiled to match."""
+        the control embedding is tiled to match.  Returns (head_in, rel,
+        vid): head_in is MSM logits, or raw hidden when the fused sampling
+        kernel is enabled."""
         tok_in = jnp.where(remask, cfg.mask_token, tokens)
         target_emb = core.apply({'params': params}, tok_in,
                                 method=BertCore.target_embedding)
         reps = tok_in.shape[0] // control_emb.shape[0]
         ctrl = control_emb if reps == 1 else jnp.tile(control_emb,
                                                       (reps, 1, 1))
-        logits, rel, vid, _ = core.apply({'params': params}, ctrl,
-                                         target_emb,
-                                         method=BertCore.forward_full)
-        return logits, rel, vid
+        method = (BertCore.forward_hidden if use_kernel
+                  else BertCore.forward_full)
+        out = core.apply({'params': params}, ctrl, target_emb,
+                         method=method)
+        return out[0], out[1], out[2]
+
+    def sample(k, head_in, temp):
+        """(Y, tokens) from the forward's head_in (see `forward`)."""
+        if not use_kernel:
+            return _sample_multinomial(k, head_in, temp)
+        from mmvid_tpu.ops.sample_head import fused_sample_head
+        bp, n, d = head_in.shape
+        m = bp * n
+        blk = next((c for c in (512, 256, 128, 64, 32, 16, 8)
+                    if m % c == 0), None)
+        if blk is None:
+            logits = core.apply({'params': params}, head_in,
+                                method=BertCore.to_logits)
+            return _sample_multinomial(k, logits, temp)
+        ln = params['to_logits_ln']
+        fc = params['to_logits_fc']
+        y, tok = fused_sample_head(
+            head_in.reshape(m, d), ln['scale'], ln['bias'],
+            jnp.asarray(fc['kernel']).astype(core.dtype), fc['bias'],
+            temp, jax.random.bits(k, dtype=jnp.uint32), blk_m=blk)
+        return y.reshape(bp, n), tok.reshape(bp, n)
 
     # ---- initial step: everything (except preserved) masked ----
     key, k0 = jax.random.split(key)
     init_tokens = jnp.where(pmask[None], preserve_tokens, cfg.mask_token)
-    logits, _, _ = forward(init_tokens, ~pmask[None].repeat(b, 0))
-    Y, I_new = _sample_multinomial(k0, logits, temp_sched[0])
+    head_in, _, _ = forward(init_tokens, ~pmask[None].repeat(b, 0))
+    Y, I_new = sample(k0, head_in, temp_sched[0])
     I_tok = jnp.where(pmask[None], preserve_tokens, I_new)
     # preserved slots never resample: pin their confidence high
     Y = jnp.where(pmask[None], jnp.inf, Y)
@@ -233,11 +265,11 @@ def mask_predict(core, params, control_emb, key, spec: MaskPredictSpec,
         keep_all = (ranks < (k_keep + int(preserve_mask.sum()))) \
             | pmask[None, None]                 # [J, b, N]
 
-        logits, rel, vid = forward(
+        head_in, rel, vid = forward(
             jnp.broadcast_to(I_tok[None], (J,) + I_tok.shape
                              ).reshape(J * b, -1),
             (~keep_all).reshape(J * b, -1))
-        Y_new, I_new = _sample_multinomial(k2, logits, temp_sched[t])
+        Y_new, I_new = sample(k2, head_in, temp_sched[t])
         S_all = ((jax.nn.sigmoid(rel) + jax.nn.sigmoid(vid)) * 0.5
                  ).reshape(J, b)
         return chain_beam_updates(Y, I_tok, keep_all,

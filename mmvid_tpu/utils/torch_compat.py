@@ -429,7 +429,15 @@ def save_dalle_checkpoint(path: str, *, params, iter: int = 0,
                           hparams: Dict | None = None, vae_params=None,
                           cvae_params=None, vae_cfg_params=None):
     """Write a reference-format dalle.pt ({iter, hparams, vae_params,
-    weights}, utils/utils_train.py:297-305)."""
+    weights}, utils/utils_train.py:297-305).
+
+    The reference format also carries 'optimizer' (torch Adam state keyed
+    by parameter ORDER of the live nn.Module instance); exporting optax
+    moments into that keying would require instantiating the torch
+    reference to recover its parameter order, so it is intentionally
+    omitted — native resume (orbax opt_state leaves,
+    mmvid_tpu.training.opt_state_leaves) is the supported path, and the
+    reference loads dalle.pt weights fine without 'optimizer'."""
     import torch
     sd = bert_params_to_torch(params, vae_params, cvae_params)
     torch.save({

@@ -25,6 +25,11 @@ REFERENCE = '/root/reference'
 
 def _stub_module(name: str) -> types.ModuleType:
     mod = types.ModuleType(name)
+    # a real ModuleSpec: importlib.util.find_spec(name) raises ValueError on
+    # modules whose __spec__ is None (transformers probes torchvision this
+    # way when deciding optional-dependency availability)
+    import importlib.machinery
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     sys.modules[name] = mod
     return mod
 

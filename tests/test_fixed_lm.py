@@ -78,3 +78,53 @@ def test_feature_loss_parity(lm_pair):
         not_fully_masked=jnp.zeros((2,)), rel=True, vid=False)
     np.testing.assert_allclose(float(msm), float(msm_ref), rtol=2e-4)
     np.testing.assert_allclose(float(rel), float(rel_ref), rtol=2e-4)
+
+
+def test_get_fixed_language_model_matches_torch(tmp_path, monkeypatch):
+    """factories.get_fixed_language_model's mean-pool feature extraction
+    must match HF torch RoBERTa exactly (reference utils_train.py:194-222
+    + utils/utils.py:53-59), validated on a synthetic tiny checkpoint
+    (zero-egress: no roberta-large weights in this env)."""
+    import json
+    import types
+
+    import torch
+    from transformers import (
+        RobertaConfig, RobertaModel, RobertaTokenizerFast)
+
+    from mmvid_tpu import factories
+
+    # tiny byte-level-BPE tokenizer files
+    vocab = {t: i for i, t in enumerate(
+        ['<s>', '<pad>', '</s>', '<unk>', '<mask>']
+        + list('abcdefghij') + ['hello', 'world', 'Ġ'])}
+    (tmp_path / 'vocab.json').write_text(json.dumps(vocab))
+    (tmp_path / 'merges.txt').write_text('#version: 0.2\n')
+    tok = RobertaTokenizerFast(vocab_file=str(tmp_path / 'vocab.json'),
+                               merges_file=str(tmp_path / 'merges.txt'))
+    tok.save_pretrained(str(tmp_path))
+
+    cfg = RobertaConfig(vocab_size=len(vocab), hidden_size=16,
+                        num_hidden_layers=2, num_attention_heads=2,
+                        intermediate_size=32, max_position_embeddings=64,
+                        pad_token_id=1, bos_token_id=0, eos_token_id=2)
+    torch.manual_seed(0)
+    tmodel = RobertaModel(cfg).eval()
+    tmodel.save_pretrained(str(tmp_path))
+
+    monkeypatch.setenv('ROBERTA_PATH', str(tmp_path))
+    args = types.SimpleNamespace(fixed_language_model='roberta-large')
+    encode, dim = factories.get_fixed_language_model(args)
+    assert dim == 16
+
+    texts = ['hello world', 'a b c d e f']
+    feats = encode(texts)
+    assert feats.shape == (2, 16)
+
+    with torch.no_grad():
+        enc = tok(texts, padding=True, truncation=True, max_length=128,
+                  return_tensors='pt')
+        out = tmodel(**enc).last_hidden_state
+        mask = enc['attention_mask'][..., None].float()
+        ref = ((out * mask).sum(1) / mask.sum(1)).numpy()
+    np.testing.assert_allclose(feats, ref, rtol=1e-4, atol=1e-5)
