@@ -285,6 +285,52 @@ def generate_interpolated_video(model, key, text, visual=None, *,
     return frames
 
 
+def generate_interp_real_video(model, key, text, source_tokens, visual=None,
+                               *, t_repeat: int = 2,
+                               mask_predict_steps: int = 0, mp_config=None):
+    """Interpolate a REAL video's tokens (utils_train.py:1433-1527).
+
+    Unlike plain interp's disjoint windows, interp_real slides a window of
+    T/2 source frames with stride T/4 (overlapping), generates T frames per
+    window (sources preserved at even slots), keeps the first T/2 output
+    frames per window (the last window keeps T-1), and repeats per level.
+    Level t length: last_tt*T/2 + T - 1 where
+    last_tt = (curr_len - T/2) // (T/4).  Returns [B, final_len, H, W, 3].
+    """
+    cfg = model.cfg
+    t_full = cfg.num_targets
+    n_tok = cfg.image_seq_len
+    assert t_full % 4 == 0, 'interp_real needs num_targets divisible by 4'
+    b = text.shape[0]
+    grid = jnp.asarray(source_tokens).reshape(b, -1, n_tok)
+
+    for _level in range(1, t_repeat):
+        curr_len = grid.shape[1]
+        assert curr_len >= t_full // 2, (curr_len, t_full)
+        last_tt = (curr_len - t_full // 2) // (t_full // 4)
+        outs = []
+        for tt in range(last_tt + 1):
+            lo = (t_full // 4) * tt
+            src = grid[:, lo:lo + t_full // 2]
+            src_full = jnp.concatenate(
+                [src, jnp.zeros_like(src)], axis=1).reshape(b, -1)
+            key, k = jax.random.split(key)
+            _, out = model.generate_images(
+                k, text, visual=visual,
+                mask_predict_steps=mask_predict_steps, dynamic=False,
+                preserve=src_full, long_mode='interp_real',
+                mp_config=mp_config, decode=False)
+            out_grid = out.reshape(b, t_full, n_tok)
+            keep = (out_grid[:, :t_full - 1] if tt == last_tt
+                    else out_grid[:, :t_full // 2])
+            outs.append(keep)
+        grid = jnp.concatenate(outs, axis=1)
+
+    total = grid.shape[1]
+    imgs = model.vae.decode(grid.reshape(b * total, n_tok))
+    return np.asarray(imgs).reshape((b, total) + imgs.shape[1:])
+
+
 def visualize_long(model, batch: Dict, key, out_dir: str, *,
                    long_mode: str = 'long', t_repeat: int = 10,
                    t_overlap: int = 1, mask_predict_steps: int = 0,
@@ -301,12 +347,16 @@ def visualize_long(model, batch: Dict, key, out_dir: str, *,
             model, key, text, visual, t_repeat=t_repeat,
             t_overlap=t_overlap, mask_predict_steps=mask_predict_steps,
             mp_config=mp_config)
-    elif long_mode in ('interp', 'interp_real'):
-        source = None
-        if long_mode == 'interp_real':
-            source = model.get_image_tokens(jnp.asarray(batch['target']))
+    elif long_mode == 'interp':
+        # reference runs t_repeat levels where level 0 is the base
+        # generation, so t_repeat-1 doubling passes (utils_train.py:1374)
         video = generate_interpolated_video(
-            model, key, text, visual, source_tokens=source,
+            model, key, text, visual, levels=max(t_repeat - 1, 1),
+            mask_predict_steps=mask_predict_steps, mp_config=mp_config)
+    elif long_mode == 'interp_real':
+        source = model.get_image_tokens(jnp.asarray(batch['target']))
+        video = generate_interp_real_video(
+            model, key, text, source, visual, t_repeat=max(t_repeat, 2),
             mask_predict_steps=mask_predict_steps, mp_config=mp_config)
     else:
         raise NotImplementedError(long_mode)

@@ -94,3 +94,68 @@ def test_visualize_train_with_visual_and_debug(tiny_visual_model, tmp_path):
     from PIL import Image
     img = Image.open(os.path.join(out, '0000005_0.png'))
     assert img.width == (1 + 2) * 16
+
+
+def test_interp_real_window_arithmetic():
+    """interp_real slides T/2-frame windows with stride T/4, keeps T/2
+    output frames per window (last keeps T-1): with a stub sampler that
+    interleaves (evens=preserved, odds=marker), level-1 output must be
+    [s0, m, s1, m, s2, m, s3] — evens are the source frames, length
+    last_tt*T/2 + T - 1 (utils_train.py:1433-1527)."""
+    from mmvid_tpu.utils.viz import generate_interp_real_video
+
+    T, n = 4, 64
+    b = 1
+
+    class StubModel:
+        class cfg:
+            num_targets = T
+            image_seq_len = n
+
+        class vae:
+            @staticmethod
+            def decode(seq):
+                # [M, n] -> [M, 1, 1, 3] carrying the first token value
+                m = seq.shape[0]
+                return jnp.broadcast_to(
+                    seq[:, :1, None, None].astype(jnp.float32),
+                    (m, 1, 1, 3))
+
+        @staticmethod
+        def generate_images(k, text, visual=None, mask_predict_steps=0,
+                            dynamic=False, preserve=None,
+                            long_mode='', mp_config=None, decode=False):
+            grid = preserve.reshape(b, T, n)
+            out = jnp.zeros((b, T, n), jnp.int32) + 999       # marker odds
+            out = out.at[:, ::2].set(grid[:, :T // 2])        # evens = src
+            return None, out.reshape(b, -1)
+
+    source = (jnp.arange(4)[None, :, None] * jnp.ones((b, 4, n), jnp.int32)
+              ).reshape(b, -1)  # frame f filled with value f
+    video = generate_interp_real_video(
+        StubModel(), jax.random.PRNGKey(0),
+        jnp.ones((b, 6), jnp.int32), source, t_repeat=2)
+    assert video.shape == (b, 7, 1, 1, 3)
+    vals = video[0, :, 0, 0, 0].astype(int).tolist()
+    assert vals == [0, 999, 1, 999, 2, 999, 3], vals
+
+
+def test_interp_real_end_to_end(tiny_visual_model):
+    """Real tiny model: 4 source frames -> 7 frames at t_repeat=2."""
+    vq_cfg = VQGanConfig(resolution=16, ch=32, ch_mult=(1, 2),
+                         num_res_blocks=1, z_channels=64, embed_dim=64,
+                         n_embed=1024, attn_resolutions=())
+    vae = VQGanVAE(image_size=16, cfg=vq_cfg)
+    cfg = BertConfig(dim=64, num_text_tokens=100, text_seq_len=8,
+                     num_visuals=0, num_targets=4, num_image_tokens=1024,
+                     image_fmap_size=8, image_size=16,
+                     clip=ClipStackConfig(width=64, layers=2, heads=2))
+    model = MMVIDBert(cfg, vae)
+    from mmvid_tpu.utils.viz import generate_interp_real_video
+    rng = np.random.RandomState(0)
+    source = jnp.asarray(rng.randint(0, 1024, (1, 4 * 64)), jnp.int32)
+    video = generate_interp_real_video(
+        model, jax.random.PRNGKey(1), jnp.ones((1, 8), jnp.int32), source,
+        t_repeat=2, mask_predict_steps=2)
+    assert video.shape == (1, 7, 16, 16, 3)
+    assert 0.0 <= video.min() and video.max() <= 1.0
