@@ -223,6 +223,24 @@ class TextVideoDataset(_SkipMixin):
         return resize_exact(open_rgb(path),
                             (self.image_size, self.image_size))
 
+    def _load_clip(self, key, idxs):
+        """Decode a whole clip to [T, S, S, 3] float32 [0,1].
+
+        With MMVID_NATIVE_LOADER=1 and resize_ratio==1.0 the C++ threaded
+        batch decoder (mmvid_tpu.native.load_batch) handles the full clip
+        in ONE call — frames are decoded+resized square in native code, and
+        the VideoTransform crop is a no-op at ratio 1, so the PIL round
+        trip is skipped entirely (the per-frame native path still paid
+        float->PIL->float conversions per frame)."""
+        if (os.environ.get('MMVID_NATIVE_LOADER') == '1'
+                and self.transform.resize_ratio == 1.0):
+            from mmvid_tpu import native
+            if native.available():
+                paths = [os.path.join(self.root, self.videos[key][i])
+                         for i in idxs]
+                return native.load_batch(paths, self.image_size)
+        return self.transform([self._load_frame(key, i) for i in idxs])
+
     def _get_video(self, index, frame_step=None):
         frame_step = frame_step or self.frame_step
         key = self.keys[index]
@@ -240,10 +258,10 @@ class TextVideoDataset(_SkipMixin):
                 s = m_step * m
                 idxs += list(range(s, s + self.frame_num * frame_step,
                                    frame_step))
-        frames = self.transform([self._load_frame(key, i) for i in idxs])
+        frames = self._load_clip(key, list(idxs))
         vis_idx = 0 if self.deterministic else random.randint(
             0, video_len - 1)
-        visual = self.transform([self._load_frame(key, vis_idx)])[0]
+        visual = self._load_clip(key, [vis_idx])[0]
         return frames, key, visual
 
     def _tokenize(self, description):

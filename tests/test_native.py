@@ -80,3 +80,36 @@ def test_missing_file_fails_gracefully(lib, tmp_path):
                               out.ctypes.data_as(
                                   ctypes.POINTER(ctypes.c_float)))
     assert rc != 0
+
+
+def test_dataset_native_clip_path(lib, tmp_path, monkeypatch):
+    """TextVideoDataset with MMVID_NATIVE_LOADER=1 decodes whole clips via
+    the C++ batch decoder and agrees with the PIL pipeline."""
+    from PIL import Image
+
+    from mmvid_tpu.data.datasets import TextVideoDataset
+
+    root = tmp_path / 'mmvox'
+    key = 'id0#a#0'
+    d = root / 'video' / key
+    d.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for j in range(10):
+        Image.fromarray(
+            rng.randint(0, 255, (40, 40, 3), dtype=np.uint8)).save(
+                d / f'{j:04d}.png')
+    (root / 'txt').mkdir()
+    (root / 'txt' / f'{key}.txt').write_text('hello\n')
+
+    def make(env):
+        monkeypatch.setenv('MMVID_NATIVE_LOADER', env)
+        ds = TextVideoDataset(str(root), text_len=10, image_size=32,
+                              truncate_captions=True, tokenizer=None,
+                              frame_num=4, frame_step=1, deterministic=True,
+                              cache=str(tmp_path / f'c{env}.pkl'))
+        return ds[0]['target']
+
+    native_t = make('1')
+    pil_t = make('0')
+    assert native_t.shape == pil_t.shape == (4, 32, 32, 3)
+    assert np.abs(native_t - pil_t).max() <= 1.5 / 255.0
