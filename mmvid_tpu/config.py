@@ -26,6 +26,7 @@ def get_args_base() -> argparse.ArgumentParser:
     add('--cvae_path', type=str, help='VQGAN for visual controls')
     add('--dalle_path', type=str, default=None, help='mmvid model checkpoint')
     add('--which_vae', type=str, default='vqgan1024')
+    # dead in the reference too (defined, never read); CLI-compat only
     add('--transformer_path', type=str, default=None)
 
     # ----- data -----
@@ -45,6 +46,8 @@ def get_args_base() -> argparse.ArgumentParser:
     # ----- precision / experiment -----
     add('--fp16', action='store_true',
         help='bfloat16 compute policy on TPU (name kept for CLI compat)')
+    # dead in the reference too (utils_args.py defines it, train.py never
+    # reads it; SURVEY §2.3); CLI-compat only
     add('--amp', action='store_true')
     add('--name', default='dalle_train_transformer', help='experiment name')
     add('--visual', action='store_true', help='add visual control?')
@@ -130,6 +133,10 @@ def get_args_train(argv=None):
     """Training flags (reference utils/utils_args.py:321-440)."""
     p = get_args_base()
     add = p.add_argument
+    # DDP plumbing flags, accepted for CLI compatibility: the SPMD runtime
+    # replaces rank/world_size/NCCL rendezvous with jax.distributed + mesh
+    # sharding (parallel/mesh.py); --workers is shadowed by --num_workers in
+    # the reference's own loaders (train.py:232)
     add('--rank', type=int, default=0)
     add('--gpu_ids', type=int, default=None)
     add('--workers', default=16, type=int)

@@ -31,6 +31,21 @@ def collate(samples: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
     return out
 
 
+class Subset:
+    """Index-remapped dataset view (torch.utils.data.Subset equivalent,
+    used by --limit_train_batches, reference train.py:217-219)."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = list(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.dataset[self.indices[i]]
+
+
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 8, seed: int = 0, drop_last: bool = True,

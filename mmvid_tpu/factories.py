@@ -73,6 +73,12 @@ def get_fixed_language_model(args):
 def get_vae_model(args, which_vae='vae', image_size: Optional[int] = None
                   ) -> VQGanVAE:
     """reference utils_train.py:148-164 + vae.py:15-36."""
+    # --which_vae selects the tokenizer class; like the reference, only
+    # 'vqgan1024' is implemented (utils_train.py:157-163 raises otherwise)
+    kind = getattr(args, 'which_vae', 'vqgan1024')
+    if kind != 'vqgan1024':
+        raise NotImplementedError(f'which_vae={kind!r}; only vqgan1024 is '
+                                  'supported (as in the reference)')
     path = args.vae_path if which_vae == 'vae' else args.cvae_path
     image_size = image_size or args.image_size or 256
     cfg = VQGanConfig(resolution=image_size)

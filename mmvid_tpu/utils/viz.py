@@ -103,7 +103,8 @@ def save_pnag_debug_grid(model, path: str, real_frames: np.ndarray,
 
 
 def visualize_train(model, batch: Dict, key, out_dir: str, iteration: int,
-                    *, n_per_sample: int = 2, mask_predict_steps=0,
+                    *, n_sample: Optional[int] = None, n_per_sample: int = 2,
+                    mask_predict_steps=0,
                     mask_predict_steps1: int = 0, vc_mode=None,
                     rand_visual: bool = False, counterfactual: bool = False,
                     debug: bool = False,
@@ -128,6 +129,14 @@ def visualize_train(model, batch: Dict, key, out_dir: str, iteration: int,
     visual = (jnp.asarray(batch['visual'])
               if batch.get('visual') is not None
               and model.cfg.num_visuals > 0 else None)
+    if n_sample is not None:
+        # N_SAMPLE = min(n_sample, batch) (reference utils_train.py:406)
+        n = min(n_sample, text.shape[0])
+        text, target = text[:n], target[:n]
+        visual = visual[:n] if visual is not None else None
+        batch = dict(batch)
+        if 'description' in batch:
+            batch['description'] = list(batch['description'])[:n]
 
     steps_list = (list(mask_predict_steps)
                   if isinstance(mask_predict_steps, (list, tuple))

@@ -167,6 +167,7 @@ def main_worker(args):
     if language_model is not None:
         batch['text'] = language_model(batch['description'])
     visualize_train(model, batch, key, str(log_dir / 'samples'), 0,
+                    n_sample=args.n_sample,
                     n_per_sample=args.n_per_sample,
                     mask_predict_steps=args.mask_predict_steps,
                     mask_predict_steps1=args.mask_predict_steps1,

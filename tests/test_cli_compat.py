@@ -53,3 +53,56 @@ def test_ar_mode_overrides():
     assert args.num_visuals == 0 * 2 or args.num_visuals >= 1
     # visual flag off: num_visuals *= 0 then AR forces >= 1
     assert args.num_visuals == 1
+
+
+def test_no_silently_ignored_flags():
+    """Every accepted flag must either be read somewhere in the runtime
+    sources or be on the documented compat/dead allowlist (each entry
+    annotated in config.py with why it is inert, matching the reference's
+    own behavior).  Guards against flags that parse and then silently do
+    nothing (round-1 VERDICT item 6)."""
+    import os
+    import re
+
+    from mmvid_tpu.config import process_args
+
+    args = process_args(train=True, argv=[
+        '--name', 't', '--image_text_folder', '/tmp',
+        '--dataset', 'video_text'])
+
+    # flags that are intentionally inert, with the reason documented at the
+    # add() site in config.py
+    allow = {
+        'amp',               # dead in the reference (defined, never read)
+        'transformer_path',  # dead in the reference
+        'pnag_argmax',       # dead in the reference (swallowed by **kwargs)
+        'rank', 'world_size', 'gpu_ids', 'dist_url', 'dist_backend',
+        'workers',           # DDP plumbing replaced by SPMD; workers is
+                             # shadowed by num_workers in the reference too
+    }
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = ''
+    for root, dirs, files in os.walk(repo):
+        dirs[:] = [d for d in dirs if d not in
+                   ('.git', 'tests', '__pycache__', 'scripts', '.claude')]
+        for f in files:
+            if f.endswith('.py'):
+                with open(os.path.join(root, f)) as fh:
+                    src += fh.read()
+
+    missing = []
+    for dest in sorted(vars(args)):
+        if dest in allow:
+            continue
+        if (re.search(rf'\b(args|tc|a)\.{re.escape(dest)}\b', src)
+                or f"'{dest}'" in src or f'"{dest}"' in src):
+            continue
+        missing.append(dest)
+    assert not missing, (
+        f'flags accepted but never read (and not on the documented '
+        f'allowlist): {missing}')
+
+    config_src = open(os.path.join(repo, 'mmvid_tpu', 'config.py')).read()
+    for dest in sorted(allow):
+        assert f'--{dest}' in config_src, dest

@@ -115,6 +115,13 @@ def main_worker(args):
                 start_iter = int(np.asarray(tree['step']))
 
     dataset = factories.get_dataset(args, tokenizer)
+    if getattr(args, 'limit_train_batches', 1) < 1:
+        # random subset of the dataset (reference train.py:217-219)
+        from mmvid_tpu.data.loader import Subset
+        rng = np.random.RandomState(args.seed)
+        keep = int(args.limit_train_batches * len(dataset))
+        dataset = Subset(dataset,
+                         rng.permutation(len(dataset))[:max(keep, 1)])
     if is_root():
         print(f'{len(dataset)} samples found')
     # args.batch_size is the GLOBAL batch (the reference divides it per
@@ -251,6 +258,7 @@ def main_worker(args):
             k = jax.random.fold_in(viz_key, idx)
             visualize_train(
                 model, batch, k, str(log_sample_dir), idx,
+                n_sample=args.n_sample,
                 n_per_sample=min(args.n_per_sample, 2),
                 mask_predict_steps=args.mask_predict_steps[0],
                 vc_mode=args.vc_mode, rand_visual=args.rand_visual,
