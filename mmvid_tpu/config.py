@@ -122,7 +122,14 @@ def get_args_base() -> argparse.ArgumentParser:
 
     # ----- TPU-specific additions (not in reference) -----
     add('--mesh_shape', type=str, default=None,
-        help='comma list e.g. "dp=8" or "dp=4,tp=2"; default: all devices dp')
+        help='comma list e.g. "dp=8", "dp=4,tp=2", "dp=2,pp=2,tp=2"; '
+             'default: all devices dp')
+    add('--pp_microbatches', type=int, default=2,
+        help='GPipe microbatches per step when the mesh has pp>1 '
+             '(clamped to a divisor of the batch)')
+    add('--seq_parallel', action='store_true',
+        help='sequence-shard the residual stream over tp between blocks '
+             '(Megatron-SP style activation sharding)')
     add('--bf16', action='store_true', help='bfloat16 compute policy')
     add('--profile_dir', type=str, default=None,
         help='write jax.profiler traces here')

@@ -163,12 +163,29 @@ def graft_transformer_params(params: dict, stack_params: dict) -> dict:
     return new_params
 
 
+def _pipeline_stages_from_args(args) -> int:
+    """pp size from --mesh_shape (e.g. 'dp=2,pp=2,tp=2'); 1 when absent."""
+    import re
+    spec = getattr(args, 'mesh_shape', None) or ''
+    m = re.search(r'pp=(\d+)', spec)
+    return int(m.group(1)) if m else 1
+
+
 def get_dalle(args, vae: VQGanVAE, cvae: Optional[VQGanVAE] = None,
               text_feature_dim: int = 0):
     """Build MMVIDBert (or ARTV core) per args (reference train.py:143-193)."""
     dtype = jnp.bfloat16 if getattr(args, 'bf16', False) or \
         getattr(args, 'fp16', False) else jnp.float32
     clip_cfg, stack_params = load_pretrained_stack(args)
+    pp = _pipeline_stages_from_args(args)
+    if pp > 1 or getattr(args, 'seq_parallel', False):
+        clip_cfg = dataclasses.replace(
+            clip_cfg, pipeline_stages=pp,
+            pipeline_microbatches=getattr(args, 'pp_microbatches', 2),
+            seq_parallel=getattr(args, 'seq_parallel', False))
+        if pp > 1 and stack_params is not None:
+            from mmvid_tpu.parallel.pipeline import stack_block_params
+            stack_params = stack_block_params(stack_params, clip_cfg.layers)
     assert args.dim == clip_cfg.width, (
         f'--dim {args.dim} must match the {args.which_transformer} width '
         f'{clip_cfg.width}')

@@ -35,6 +35,17 @@ class ClipStackConfig:
     layers: int = 12
     heads: int = 12
     remat: bool = False       # jax.checkpoint each block (training memory)
+    # --- beyond-parity parallelism (the reference is DP-only) ---
+    # pipeline_stages > 1 switches the stack to the GPipe-style microbatched
+    # pipeline over the 'pp' mesh axis (parallel/pipeline.py); block params
+    # are then stored stacked with a leading [layers] axis sharded over pp.
+    pipeline_stages: int = 1
+    pipeline_microbatches: int = 2
+    # seq_parallel constrains the residual stream between blocks to be
+    # sequence-sharded over the 'tp' axis (Megatron-SP style): LayerNorms and
+    # residual adds run on L/tp tokens per device; XLA inserts the
+    # all-gather/reduce-scatter pairs around the attention/MLP matmuls.
+    seq_parallel: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -231,7 +242,13 @@ class TransformerStack(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None):
+        if self.cfg.pipeline_stages > 1:
+            return self._pipelined(x, mask)
+        from mmvid_tpu.parallel.pipeline import maybe_constrain
         x = x.astype(self.dtype)
+        sp = self.cfg.seq_parallel
+        if sp:
+            x = maybe_constrain(x, 'dp', 'tp', None)
         block_cls = (nn.remat(ResidualAttentionBlock,
                               static_argnums=())
                      if (self.remat or self.cfg.remat)
@@ -239,7 +256,73 @@ class TransformerStack(nn.Module):
         for i in range(self.cfg.layers):
             x = block_cls(self.cfg.width, self.cfg.heads,
                           dtype=self.dtype, name=f'blocks_{i}')(x, mask)
+            if sp:
+                x = maybe_constrain(x, 'dp', 'tp', None)
         return x.astype(jnp.float32)
+
+    def _pipelined(self, x, mask):
+        """GPipe-style microbatched pipeline over the 'pp' mesh axis.
+
+        Block params live in ONE 'blocks' pytree param with a leading
+        [layers] axis (pp-sharded; see parallel/mesh.py rules).  Every
+        schedule tick applies all S stages in parallel — a vmap over the
+        pp-sharded stage axis, so each device runs exactly its own stage —
+        and the inter-stage hand-off is a shift along that axis, which XLA
+        lowers to a collective-permute over ICI.  Wall-clock per call is
+        (M + S - 1) stage-times; the (S-1)/(M+S-1) bubble is the standard
+        GPipe cost.  Numerics match the sequential stack (same per-block
+        math, same order; up to XLA tiling reassociation ~1e-6)."""
+        from mmvid_tpu.parallel.pipeline import maybe_constrain
+        cfg = self.cfg
+        S, M = cfg.pipeline_stages, cfg.pipeline_microbatches
+        assert cfg.layers % S == 0, (
+            f'{cfg.layers} layers not divisible by {S} pipeline stages')
+        x = x.astype(self.dtype)
+        b, l, d = x.shape
+        while b % M:
+            M -= 1  # clamp to a divisor (init traces with batch 1)
+        mbs = b // M
+
+        # Detached block template: init/apply as pure functions so the
+        # stacked param tree has exactly the per-block structure.
+        blk = ResidualAttentionBlock(cfg.width, cfg.heads, dtype=self.dtype,
+                                     parent=None)
+
+        def init_fn(rng):
+            dummy = jnp.zeros((1, 8, cfg.width), self.dtype)
+            keys = jax.random.split(rng, cfg.layers)
+            return jax.vmap(
+                lambda k: blk.init(k, dummy, None)['params'])(keys)
+
+        stacked = self.param('blocks', init_fn)
+
+        p_s = jax.tree_util.tree_map(
+            lambda a: a.reshape((S, cfg.layers // S) + a.shape[1:]), stacked)
+
+        def stage_fn(p_stage, h):
+            def body(c, p):
+                return blk.apply({'params': p}, c, mask), None
+            h, _ = jax.lax.scan(body, h, p_stage)
+            return h
+
+        x_mb = x.reshape(M, mbs, l, d)
+        state = jnp.zeros((S, mbs, l, d), x.dtype).at[0].set(x_mb[0])
+        outputs = jnp.zeros((M, mbs, l, d), x.dtype)
+        # with seq_parallel the inter-stage buffer is additionally
+        # sequence-sharded over tp (the hand-off rides pp, LN/residual work
+        # is split over tp)
+        state_spec = (('pp', 'dp', 'tp') if cfg.seq_parallel
+                      else ('pp', 'dp'))
+        for t in range(M + S - 1):
+            state = maybe_constrain(state, *state_spec)
+            y = jax.vmap(stage_fn)(p_s, state)
+            if t >= S - 1:
+                outputs = outputs.at[t - (S - 1)].set(y[-1])
+            nxt = (x_mb[t + 1] if t + 1 < M
+                   else jnp.zeros((mbs, l, d), x.dtype))
+            # shift stages: stage i receives stage i-1's output
+            state = jnp.concatenate([nxt[None], y[:-1]], axis=0)
+        return outputs.reshape(b, l, d).astype(jnp.float32)
 
 
 def load_openai_clip_stack(model_path: str,

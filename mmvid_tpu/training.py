@@ -159,6 +159,28 @@ def opt_state_from_leaves(template_opt_state, leaves: dict):
     return jax.tree_util.tree_unflatten(treedef, ordered)
 
 
+def adapt_opt_state_layout(opt_state, n_layers: int, pipelined: bool):
+    """Convert the params-shaped subtrees of an optax state (Adam mu/nu,
+    decay masks, ...) between the per-block and the stacked pipeline
+    layouts, so a resume survives a parallelism-topology change
+    (--mesh_shape pp=... toggled across the restart)."""
+    from mmvid_tpu.parallel.pipeline import adapt_stack_layout
+
+    def rec(node):
+        if isinstance(node, dict):
+            if isinstance(node.get('transformer'), dict):
+                return adapt_stack_layout(node, n_layers, pipelined)
+            return {k: rec(v) for k, v in node.items()}
+        if hasattr(node, '_fields'):  # namedtuple (optax states)
+            return type(node)(*[rec(getattr(node, f))
+                                for f in node._fields])
+        if isinstance(node, (list, tuple)):
+            return type(node)(rec(v) for v in node)
+        return node
+
+    return rec(opt_state)
+
+
 def create_train_state(model: MMVIDBert, tc: TrainConfig) -> TrainState:
     # Copy params: the jitted step donates its TrainState, and donation
     # would otherwise invalidate model.params (still needed for generation
@@ -252,7 +274,11 @@ def jit_train_step(model: MMVIDBert, tc: TrainConfig, mesh=None,
             return jax.device_put(v, bs)
 
         batch = {k: put(v) for k, v in batch.items() if v is not None}
-        return jitted(state, batch, key)
+        # trace/compile under the mesh context: the pipeline/seq-parallel
+        # paths place bare-PartitionSpec sharding constraints that need an
+        # ambient mesh (parallel/pipeline.py::maybe_constrain)
+        with mesh:
+            return jitted(state, batch, key)
 
     run.shard_state = shard_state
     return run

@@ -439,6 +439,16 @@ def save_dalle_checkpoint(path: str, *, params, iter: int = 0,
     mmvid_tpu.training.opt_state_leaves) is the supported path, and the
     reference loads dalle.pt weights fine without 'optimizer'."""
     import torch
+    t = params.get('transformer', {})
+    if 'blocks' in t:
+        # pipeline-parallel training stores blocks stacked; the reference
+        # format is per-block
+        import jax
+        from mmvid_tpu.parallel.pipeline import unstack_block_params
+        n_layers = next(iter(jax.tree_util.tree_leaves(
+            t['blocks']))).shape[0]
+        params = {**params,
+                  'transformer': unstack_block_params(t, n_layers)}
     sd = bert_params_to_torch(params, vae_params, cvae_params)
     torch.save({
         'iter': iter,

@@ -87,7 +87,12 @@ def main_worker(args):
 
     model = factories.get_dalle(args, vae, cvae,
                                 text_feature_dim=text_feature_dim)
-    model.params = params
+    # training with a pp mesh stores the backbone blocks stacked; inference
+    # always runs the sequential (per-block) layout
+    from mmvid_tpu.parallel.pipeline import adapt_stack_layout
+    model.params = adapt_stack_layout(
+        params, model.cfg.clip.layers,
+        model.cfg.clip.pipeline_stages > 1)
 
     dataset = factories.get_dataset(args, tokenizer)
     print(f'{len(dataset)} samples found')

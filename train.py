@@ -96,18 +96,28 @@ def main_worker(args):
 
     start_iter = args.start_iter or 0
     resume_opt_leaves = None
+    # checkpoints carry the per-block (reference-compatible) or the stacked
+    # pipeline layout; adapt to whatever this run's model uses
+    from mmvid_tpu.parallel.pipeline import adapt_stack_layout
+    pipelined = model.cfg.clip.pipeline_stages > 1
+    n_layers = model.cfg.clip.layers
+    ckpt_pipelined, ckpt_params = pipelined, None
     if args.dalle_path:
         if str(args.dalle_path).endswith('.pt'):
             from mmvid_tpu.utils.torch_compat import load_dalle_checkpoint
             ckpt = load_dalle_checkpoint(args.dalle_path)
-            model.params = ckpt['params']
+            model.params = adapt_stack_layout(ckpt['params'], n_layers,
+                                              pipelined)
             if ckpt.get('vae'):
                 vae.params = ckpt['vae']
             start_iter = args.start_iter if args.start_iter is not None \
                 else ckpt.get('iter', 0) or 0
         else:
             tree, _ = load_checkpoint(args.dalle_path)
-            model.params = tree['params']
+            ckpt_params = tree['params']
+            ckpt_pipelined = 'blocks' in ckpt_params.get('transformer', {})
+            model.params = adapt_stack_layout(ckpt_params, n_layers,
+                                              pipelined)
             # resume restores the optimizer moments + schedule position too
             # (reference saves 'optimizer', utils/utils_train.py:297-305)
             resume_opt_leaves = tree.get('opt_state')
@@ -170,11 +180,24 @@ def main_worker(args):
     step_fn = jit_train_step(model, tc, mesh=mesh)
     state = create_train_state(model, tc)
     if resume_opt_leaves is not None:
-        from mmvid_tpu.training import opt_state_from_leaves
+        from mmvid_tpu.training import (
+            adapt_opt_state_layout,
+            make_optimizer,
+            opt_state_from_leaves,
+        )
+        if ckpt_pipelined != pipelined:
+            # the checkpoint's Adam moments are params-shaped in the OTHER
+            # block layout: rebuild them against a template of that layout,
+            # then convert (training.py::adapt_opt_state_layout)
+            tmpl = make_optimizer(tc).init(ckpt_params)
+            restored = adapt_opt_state_layout(
+                opt_state_from_leaves(tmpl, resume_opt_leaves),
+                n_layers, pipelined)
+        else:
+            restored = opt_state_from_leaves(state.opt_state,
+                                             resume_opt_leaves)
         state = state.replace(
-            opt_state=opt_state_from_leaves(state.opt_state,
-                                            resume_opt_leaves),
-            step=jnp.asarray(start_iter, jnp.int32))
+            opt_state=restored, step=jnp.asarray(start_iter, jnp.int32))
     state = step_fn.shard_state(state)
 
     # ONE common base key across hosts: the step key is a replicated SPMD
