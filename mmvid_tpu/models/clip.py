@@ -299,9 +299,15 @@ class TransformerStack(nn.Module):
         p_s = jax.tree_util.tree_map(
             lambda a: a.reshape((S, cfg.layers // S) + a.shape[1:]), stacked)
 
+        def block_apply(p, c):
+            return blk.apply({'params': p}, c, mask)
+
+        if cfg.remat:  # same FLOPs-for-HBM trade as the sequential path
+            block_apply = jax.checkpoint(block_apply)
+
         def stage_fn(p_stage, h):
             def body(c, p):
-                return blk.apply({'params': p}, c, mask), None
+                return block_apply(p, c), None
             h, _ = jax.lax.scan(body, h, p_stage)
             return h
 

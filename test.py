@@ -36,6 +36,12 @@ def main_worker(args):
     np.random.seed(args.seed)
     args.deterministic = True
     args.batch_size = 16 if args.eval_mode == 'eval' else args.batch_size
+    # pp is a TRAINING topology: inference always runs the sequential block
+    # layout (the KV-cached AR sampler and generation cache address
+    # per-block params); pp-trained checkpoints are converted on load below
+    if args.mesh_shape and 'pp=' in args.mesh_shape:
+        import re as _re
+        args.mesh_shape = _re.sub(r'pp=\d+', 'pp=1', args.mesh_shape)
 
     log_dir = Path(args.log_root) / (args.name + args.name_suffix)
     args.log_metric_dir = str(log_dir / 'metrics')
