@@ -28,12 +28,17 @@ def _make_packed_kernel(d: int, hpb: int):
     block's lane width is a 128 multiple while the array keeps the
     residual-stream [B, L, H*D] layout."""
 
+    bf16_av = os.environ.get('MMVID_ATTN_BF16') == '1'
+
     def kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
         for i in range(hpb):
             sl = slice(i * d, (i + 1) * d)
-            q = q_ref[0, :, sl].astype(jnp.float32)   # [L, D]
-            k = k_ref[0, :, sl].astype(jnp.float32)
-            v = v_ref[0, :, sl].astype(jnp.float32)
+            # QK^T feeds the MXU in the INPUT dtype: the operands are
+            # bf16-valued, so bf16 multiplies with the fp32 accumulation
+            # preferred_element_type requests are exact — same numbers as
+            # the old upcast-then-dot at the native-bf16 MXU rate.
+            q = q_ref[0, :, sl]                        # [L, D]
+            k = k_ref[0, :, sl]
             logits = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)    # [L, L]
@@ -41,7 +46,16 @@ def _make_packed_kernel(d: int, hpb: int):
             m = jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits - m)
             denom = jnp.sum(p, axis=-1, keepdims=True)
-            out = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
+            if bf16_av:
+                # MMVID_ATTN_BF16=1: probabilities rounded to bf16 for a
+                # native-rate AV matmul (~1e-3 relative output change;
+                # bench-only, parity tests run without it)
+                out = jnp.dot(p.astype(jnp.bfloat16), v_ref[0, :, sl],
+                              preferred_element_type=jnp.float32) / denom
+            else:
+                v = v_ref[0, :, sl].astype(jnp.float32)
+                out = jnp.dot(p, v,
+                              preferred_element_type=jnp.float32) / denom
             o_ref[0, :, sl] = out.astype(o_ref.dtype)
 
     return kernel
@@ -67,8 +81,13 @@ def fused_attention_blhd(q, k, v, mask, sm_scale=None, interpret=False):
     b, l, h, d = q.shape
     scale = sm_scale if sm_scale is not None else d ** -0.5
 
-    # heads packed to a 128-lane block width (2 heads at d=64)
+    # heads packed to a 128-lane block width (2 heads at d=64);
+    # MMVID_ATTN_HPB overrides to amortize per-program overhead over more
+    # heads (lane width stays a 128 multiple)
     hpb = max(1, 128 // d) if 128 % d == 0 else 1
+    env_hpb = int(os.environ.get('MMVID_ATTN_HPB', '0'))
+    if env_hpb > 0 and h % env_hpb == 0 and (env_hpb * d) % 128 == 0:
+        hpb = env_hpb
     if h % hpb != 0:
         hpb = 1
     # sublane-mult padding only (16 covers bf16); Mosaic pads lanes

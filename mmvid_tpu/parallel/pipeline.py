@@ -35,13 +35,20 @@ def ambient_mesh() -> Optional[Any]:
             return m
     except Exception:
         pass
-    try:
-        from jax.interpreters import pxla
-        m = pxla.thread_resources.env.physical_mesh
-        if m is not None and not m.empty:
-            return m
-    except Exception:
-        pass
+    # ``with mesh:`` (the legacy resource env) — jax 0.9 exposes it only
+    # through thread_resources; prefer the private home to the deprecated
+    # jax.interpreters.pxla re-export, falling back for older versions.
+    for get in (lambda: __import__('jax._src.mesh', fromlist=['mesh'])
+                .thread_resources.env.physical_mesh,
+                lambda: __import__('jax.interpreters.pxla',
+                                   fromlist=['pxla'])
+                .thread_resources.env.physical_mesh):
+        try:
+            m = get()
+            if m is not None and not m.empty:
+                return m
+        except Exception:
+            continue
     return None
 
 

@@ -11,8 +11,9 @@ Parity targets:
 
 TPU-native design: the reference runs one process per GPU with DDP allreduce
 (train.py:28-97).  Here the step is ONE jitted SPMD program over the
-(dp, tp) mesh — the batch is dp-sharded, params replicated (tp-sharded where
-rules apply), and XLA inserts the gradient all-reduce over ICI.  The whole
+(dcn, dp, pp, tp) mesh — the batch is (dcn, dp)-sharded, params replicated
+(tp-sharded where rules apply, pipeline blocks pp-sharded), and XLA inserts
+the gradient all-reduce over ICI (and DCN for the dcn axis).  The whole
 3-forward loss (incl. frozen-VQGAN tokenization of targets and warped VID
 negatives) compiles into the step: no host round-trips per iteration
 (the reference re-encodes warped videos on host RNG every step,
