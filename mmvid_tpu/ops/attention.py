@@ -70,16 +70,60 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',))
+def _attention_xla(q, k, v, mask, scale):
+    """Differentiable XLA attention with the kernel's exact semantics
+    (fp32 logits/softmax, [B,L,H,D] layout) — the custom_vjp backward
+    recomputes through this, flash-attention style."""
+    logits = jnp.einsum('blhd,bmhd->bhlm', q.astype(jnp.float32) * scale,
+                        k.astype(jnp.float32))
+    logits = logits + mask[None, None]
+    p = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum('bhlm,bmhd->blhd', p, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused_attention(q, k, v, mask, scale, interpret):
+    return _pallas_attention(q, k, v, mask, scale, interpret)
+
+
+def _fused_attention_fwd(q, k, v, mask, scale, interpret):
+    return _fused_attention(q, k, v, mask, scale, interpret), (q, k, v, mask)
+
+
+def _fused_attention_bwd(scale, interpret, res, g):
+    # Backward = VJP of the XLA reference, recomputing the [B,H,L,L]
+    # probabilities (the kernel never materialized them).  This is what
+    # makes MMVID_PALLAS_ATTN=1 usable in training, not just sampling.
+    q, k, v, mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, m_: _attention_xla(q_, k_, v_, m_, scale),
+        q, k, v, mask)
+    return vjp(g)
+
+
+_fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=('sm_scale', 'interpret'))
 def fused_attention_blhd(q, k, v, mask, sm_scale=None, interpret=False):
     """q,k,v [B,L,H,D]; additive mask [L,L] (or None) -> [B,L,H,D].
 
     Layout-preserving: inputs and outputs stay in the residual stream's
     [B, L, H*D] ordering, so the surrounding reshape is free — profiling
     showed the post-attention transpose forced a strided-layout LayerNorm
-    worth 26% of sampler device time.  Scaling uses the TRUE head dim."""
+    worth 26% of sampler device time.  Scaling uses the TRUE head dim.
+    Differentiable: forward is the Pallas kernel, backward an XLA
+    recompute (custom_vjp above)."""
     b, l, h, d = q.shape
     scale = sm_scale if sm_scale is not None else d ** -0.5
+    if mask is None:
+        mask = jnp.zeros((l, l), jnp.float32)
+    return _fused_attention(q, k, v, mask, scale, interpret)
+
+
+def _pallas_attention(q, k, v, mask, scale, interpret):
+    b, l, h, d = q.shape
 
     # heads packed to a 128-lane block width (2 heads at d=64);
     # MMVID_ATTN_HPB overrides to amortize per-program overhead over more

@@ -70,3 +70,41 @@ def test_transformer_stack_with_pallas_attention():
         del os.environ['MMVID_PALLAS_ATTN']
     np.testing.assert_allclose(np.asarray(out), np.asarray(base),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.quick
+def test_fused_attention_gradients_match_reference():
+    """The kernel is differentiable (custom_vjp, XLA-recompute backward):
+    training with MMVID_PALLAS_ATTN=1 must produce the reference grads
+    (regression: jax.grad through pallas_call fails without the vjp)."""
+    from mmvid_tpu.ops.attention import fused_attention_blhd
+
+    b, l, h, d = 2, 37, 2, 64
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, l, h, d))
+    k = jax.random.normal(kk, (b, l, h, d))
+    v = jax.random.normal(kv, (b, l, h, d))
+    mask = build_attention_mask(l, 'mask_prev', index=[5])
+
+    def loss_fused(q, k, v):
+        out = fused_attention_blhd(q, k, v, mask, interpret=True)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_ref(q, k, v):
+        out = _reference(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                         v.transpose(0, 2, 1, 3), mask)
+        return jnp.sum(jnp.sin(out.transpose(0, 2, 1, 3)))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+
+    # and under jax.checkpoint (the remat training path)
+    g_remat = jax.grad(lambda *a: jax.checkpoint(loss_fused)(*a),
+                       argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_remat, gf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)

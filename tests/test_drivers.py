@@ -162,3 +162,49 @@ def test_test_driver_long_mode(data_tree, tmp_path):
     video = test_mod.main_worker(targs)
     # 2 frames + 2 chunks x 1 novel frame each
     assert video.shape[1] == 2 + 2 * 1
+
+
+def test_train_driver_preemption_checkpoint(data_tree, tmp_path):
+    """SIGTERM mid-training: the loop finishes the in-flight step, writes a
+    resumable preempt checkpoint, and returns cleanly (TPU fleet schedulers
+    deliver SIGTERM before reclaiming capacity)."""
+    import signal
+
+    import mmvid_tpu.training as tr
+
+    train_mod = _load('train')
+    args = _train_args(data_tree, tmp_path)
+    args.name = 'tiny_preempt'
+    args.iters = 50  # far more than will run
+
+    orig = tr.jit_train_step
+    calls = {'n': 0}
+
+    def patched(model, tc, mesh=None, **kw):
+        step = orig(model, tc, mesh=mesh, **kw)
+
+        def wrapper(*a, **k):
+            calls['n'] += 1
+            if calls['n'] == 2:  # mid-training, after handlers installed
+                signal.raise_signal(signal.SIGTERM)
+            return step(*a, **k)
+
+        wrapper.shard_state = step.shard_state
+        return wrapper
+
+    tr.jit_train_step = patched
+    try:
+        train_mod.main_worker(args)
+    finally:
+        tr.jit_train_step = orig
+
+    assert calls['n'] < 50, 'SIGTERM did not stop the loop'
+    log_dir = tmp_path / 'logs' / 'tiny_preempt'
+    pre = list((log_dir / 'weights').glob('preempt_at_*'))
+    assert pre, 'no preemption checkpoint written'
+    # the checkpoint must be resumable: it restores params + opt state
+    from mmvid_tpu.utils.checkpoint import load_checkpoint
+    tree, _hparams = load_checkpoint(str(pre[0]))
+    assert 'params' in tree and 'opt_state' in tree and 'step' in tree
+    # and the default SIGTERM disposition is restored
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL

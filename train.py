@@ -224,7 +224,35 @@ def main_worker(args):
                 'opt_state': opt_state_leaves(
                     jax.device_get(state.opt_state))}
 
+    # Graceful preemption (beyond-parity; the reference restarts manually,
+    # SURVEY.md §5): TPU fleet schedulers deliver SIGTERM ahead of
+    # reclaiming capacity — finish the in-flight step, write a resumable
+    # checkpoint, and exit 0 so the job supervisor restarts cleanly from
+    # --start_iter.
+    import signal
+    preempted = {'sig': None}
+
+    def _on_term(signum, frame):
+        preempted['sig'] = signum
+
+    prev_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _on_term)
+        except (ValueError, OSError):  # non-main thread (tests)
+            pass
+
     for idx in range(start_iter, args.iters):
+        if preempted['sig'] is not None:
+            if is_root():
+                save_checkpoint(str(log_dir), f'preempt_at_{idx}',
+                                ckpt_tree(idx), hparams=hparams,
+                                keep_last=True)
+                print(f'signal {preempted["sig"]}: checkpoint written at '
+                      f'iter {idx}; resume with --start_iter {idx}')
+            for sig, h in prev_handlers.items():
+                signal.signal(sig, h)
+            return
         batch = next(batches)
         feed = {'text': np.asarray(batch['text']),
                 'target': np.asarray(batch['target'])}
