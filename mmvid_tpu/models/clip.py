@@ -46,6 +46,11 @@ class ClipStackConfig:
     # residual adds run on L/tp tokens per device; XLA inserts the
     # all-gather/reduce-scatter pairs around the attention/MLP matmuls.
     seq_parallel: bool = False
+    # w8a8 int8 serving path (ops/int8.py): per-layer STATIC activation
+    # scales (qkv_in, out_in, fc_in, proj_in), produced by
+    # mmvid_tpu.ops.int8 calibration.  None = bf16/fp32 path.  Static so
+    # changing scales retraces; serving-only (round() has zero gradient).
+    int8_scales: Optional[tuple] = None
 
     @property
     def head_dim(self) -> int:
@@ -143,23 +148,38 @@ class MultiHeadAttention(nn.Module):
     """Parity with torch nn.MultiheadAttention self-attention.
 
     MMVID_PALLAS_ATTN=1 routes the QK^T+softmax+AV through the fused
-    Pallas kernel (mmvid_tpu.ops.attention) to keep logits on-chip."""
+    Pallas kernel (mmvid_tpu.ops.attention) to keep logits on-chip.
+    ``int8_scales`` (qkv_in, out_in) switches the four projections to the
+    w8a8 int8 MXU path (ops/int8.py); param tree is unchanged."""
     width: int
     heads: int
     dtype: Any = jnp.float32
+    int8_scales: Optional[tuple] = None
+
+    def _proj(self, x, name, a_scale):
+        if a_scale is None:
+            return nn.Dense(self.width, dtype=self.dtype, name=name)(x)
+        from mmvid_tpu.ops.int8 import quantized_dense
+        kernel, bias = _LinearParams(self.width, name=name)(x)
+        return quantized_dense(x, kernel, bias, a_scale)
 
     @nn.compact
     def __call__(self, x, mask=None):
         import os
 
+        from mmvid_tpu.ops.int8 import CALIB_COL
+
+        if self.is_mutable_collection(CALIB_COL):
+            self.sow(CALIB_COL, 'qkv_in', jnp.max(jnp.abs(x)))
+        sc = self.int8_scales or (None, None)
         b, l, d = x.shape
         h, hd = self.heads, self.width // self.heads
         # NB: a manually-fused [D,3D] qkv matmul was measured SLOWER (270 vs
         # 292 f/s) — the param concat re-materializes inside the sampler's
         # while_loop; three Dense calls fuse fine under XLA.
-        q = nn.Dense(self.width, dtype=self.dtype, name='query')(x)
-        k = nn.Dense(self.width, dtype=self.dtype, name='key')(x)
-        v = nn.Dense(self.width, dtype=self.dtype, name='value')(x)
+        q = self._proj(x, 'query', sc[0])
+        k = self._proj(x, 'key', sc[0])
+        v = self._proj(x, 'value', sc[0])
         if os.environ.get('MMVID_PALLAS_ATTN') == '1':
             # layout-preserving kernel: stays in [B, L, H, D] so no
             # transposed-layout tensor ever reaches the residual stream
@@ -183,30 +203,50 @@ class MultiHeadAttention(nn.Module):
                              preferred_element_type=jnp.float32)
             out = out.transpose(0, 2, 1, 3).reshape(b, l, d).astype(
                 self.dtype)
-        return nn.Dense(self.width, dtype=self.dtype, name='out')(out)
+        from mmvid_tpu.ops.int8 import CALIB_COL
+        if self.is_mutable_collection(CALIB_COL):
+            self.sow(CALIB_COL, 'out_in', jnp.max(jnp.abs(out)))
+        return self._proj(out, 'out', sc[1])
 
 
 class Mlp(nn.Module):
     width: int
     dtype: Any = jnp.float32
+    int8_scales: Optional[tuple] = None  # (fc_in, proj_in)
+
+    def _dense(self, x, features, name, a_scale):
+        if a_scale is None:
+            return nn.Dense(features, dtype=self.dtype, name=name)(x)
+        from mmvid_tpu.ops.int8 import quantized_dense
+        kernel, bias = _LinearParams(features, name=name)(x)
+        return quantized_dense(x, kernel, bias, a_scale)
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(4 * self.width, dtype=self.dtype, name='fc')(x)
+        from mmvid_tpu.ops.int8 import CALIB_COL
+        calib = self.is_mutable_collection(CALIB_COL)
+        sc = self.int8_scales or (None, None)
+        if calib:
+            self.sow(CALIB_COL, 'fc_in', jnp.max(jnp.abs(x)))
+        x = self._dense(x, 4 * self.width, 'fc', sc[0])
         x = QuickGELU()(x)
-        return nn.Dense(self.width, dtype=self.dtype, name='proj')(x)
+        if calib:
+            self.sow(CALIB_COL, 'proj_in', jnp.max(jnp.abs(x)))
+        return self._dense(x, self.width, 'proj', sc[1])
 
 
 class ResidualAttentionBlock(nn.Module):
     width: int
     heads: int
     dtype: Any = jnp.float32
+    int8_scales: Optional[tuple] = None  # (qkv_in, out_in, fc_in, proj_in)
 
     @nn.compact
     def __call__(self, x, mask=None):
         import os
+        sc = self.int8_scales
         if (os.environ.get('MMVID_FUSED_LNQKV') == '1'
-                and self.width % 128 == 0):
+                and self.width % 128 == 0 and sc is None):
             # ln_1 statistics computed inside the QKV kernel; param tree
             # identical to the unfused path
             ln_scale, ln_bias = _LNParams(name='ln_1')(self.width)
@@ -219,11 +259,12 @@ class ResidualAttentionBlock(nn.Module):
                         if os.environ.get('MMVID_FAST_LN') == '1'
                         else jnp.float32)
             h = _ln('ln_1', ln_dtype)(x).astype(self.dtype)
-            x = x + MultiHeadAttention(self.width, self.heads,
-                                       dtype=self.dtype,
-                                       name='attn')(h, mask)
+            x = x + MultiHeadAttention(
+                self.width, self.heads, dtype=self.dtype,
+                int8_scales=sc[:2] if sc else None, name='attn')(h, mask)
         h = _ln('ln_2')(x).astype(self.dtype)
-        x = x + Mlp(self.width, dtype=self.dtype, name='mlp')(h)
+        x = x + Mlp(self.width, dtype=self.dtype,
+                    int8_scales=sc[2:] if sc else None, name='mlp')(h)
         return x
 
 
@@ -253,9 +294,15 @@ class TransformerStack(nn.Module):
                               static_argnums=())
                      if (self.remat or self.cfg.remat)
                      else ResidualAttentionBlock)
+        i8 = self.cfg.int8_scales
+        assert i8 is None or not (self.remat or self.cfg.remat), (
+            'int8 path is serving-only (round() has zero gradient); '
+            'disable remat/int8_scales')
         for i in range(self.cfg.layers):
             x = block_cls(self.cfg.width, self.cfg.heads,
-                          dtype=self.dtype, name=f'blocks_{i}')(x, mask)
+                          dtype=self.dtype,
+                          int8_scales=i8[i] if i8 else None,
+                          name=f'blocks_{i}')(x, mask)
             if sp:
                 x = maybe_constrain(x, 'dp', 'tp', None)
         return x.astype(jnp.float32)
@@ -274,6 +321,9 @@ class TransformerStack(nn.Module):
         math, same order; up to XLA tiling reassociation ~1e-6)."""
         from mmvid_tpu.parallel.pipeline import maybe_constrain
         cfg = self.cfg
+        assert cfg.int8_scales is None, (
+            'int8 serving path not supported with pipeline_stages > 1 '
+            '(per-layer static scales cannot vary inside the stage scan)')
         S, M = cfg.pipeline_stages, cfg.pipeline_microbatches
         assert cfg.layers % S == 0, (
             f'{cfg.layers} layers not divisible by {S} pipeline stages')

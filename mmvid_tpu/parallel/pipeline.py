@@ -36,19 +36,20 @@ def ambient_mesh() -> Optional[Any]:
     except Exception:
         pass
     # ``with mesh:`` (the legacy resource env) — jax 0.9 exposes it only
-    # through thread_resources; prefer the private home to the deprecated
-    # jax.interpreters.pxla re-export, falling back for older versions.
-    for get in (lambda: __import__('jax._src.mesh', fromlist=['mesh'])
-                .thread_resources.env.physical_mesh,
-                lambda: __import__('jax.interpreters.pxla',
-                                   fromlist=['pxla'])
-                .thread_resources.env.physical_mesh):
+    # through thread_resources; prefer the private home and fall back to
+    # the deprecated jax.interpreters.pxla re-export ONLY if that import
+    # fails (older jax), so no DeprecationWarning in normal operation.
+    try:
+        m = (__import__('jax._src.mesh', fromlist=['mesh'])
+             .thread_resources.env.physical_mesh)
+    except Exception:
         try:
-            m = get()
-            if m is not None and not m.empty:
-                return m
+            from jax.interpreters import pxla
+            m = pxla.thread_resources.env.physical_mesh
         except Exception:
-            continue
+            m = None
+    if m is not None and not m.empty:
+        return m
     return None
 
 

@@ -26,6 +26,9 @@ def run_variant(name, batch, env, steps=20, iters=3):
     from __graft_entry__ import _flagship
 
     model, _ = _flagship(tiny=False, dtype=jnp.bfloat16)
+    if env.get('MMVID_INT8') == '1':
+        from mmvid_tpu.ops.int8 import quantize_for_serving
+        model = quantize_for_serving(model)
     cfg = model.cfg
     text = jnp.ones((batch, cfg.text_seq_len), jnp.int32)
     key = jax.random.PRNGKey(0)
@@ -79,6 +82,10 @@ def main():
                     {**base, 'MMVID_ATTN_HPB': '6'}),
         'hpb12_48': ('12 heads/program b48', 48,
                      {**base, 'MMVID_ATTN_HPB': '12'}),
+        'int8_48': ('w8a8 int8 backbone b48', 48,
+                    {**base, 'MMVID_INT8': '1'}),
+        'int8_16': ('w8a8 int8 backbone b16', 16,
+                    {**base, 'MMVID_INT8': '1'}),
     }
     for w in which:
         name, batch, env = variants[w]

@@ -87,11 +87,30 @@ def main():
                 jnp.bfloat16)
         return jax.lax.fori_loop(0, STEPS, body, x)
 
+    @jax.jit
+    def chain_i8_scalar(x, w1, w2):
+        # per-TENSOR dynamic activation scale: one scalar abs-max reduce
+        # (cheap, fuses) instead of the per-row [M,1] that killed dynq
+        def dynq(a):
+            s = jnp.max(jnp.abs(a)) + 1e-6
+            return (jnp.round(a * (127.0 / s)).astype(jnp.int8), s)
+
+        def body(i, y):
+            qy, s = dynq(y.astype(jnp.float32))
+            h = jax.lax.dot(qy, w1, preferred_element_type=jnp.int32)
+            h = h.astype(jnp.float32) * (s / 127.0 / 64.0)
+            qh, s2 = dynq(h)
+            y = jax.lax.dot(qh, w2, preferred_element_type=jnp.int32)
+            return (y.astype(jnp.float32) * (s2 / 127.0 / 64.0)).astype(
+                jnp.bfloat16)
+        return jax.lax.fori_loop(0, STEPS, body, x)
+
     flops = 2 * m * k * n * 2 * STEPS
     for name, fn, args in (
             ('bf16_chain', chain_bf16, (x_bf, w1_bf, w2_bf)),
             ('int8_chain', chain_i8, (x_bf, w1_i8, w2_i8)),
-            ('int8_dynq_chain', chain_i8_dynq, (x_bf, w1_i8, w2_i8))):
+            ('int8_dynq_chain', chain_i8_dynq, (x_bf, w1_i8, w2_i8)),
+            ('int8_scalar_chain', chain_i8_scalar, (x_bf, w1_i8, w2_i8))):
         dt = timeit(fn, *args)
         print(json.dumps({'what': name, 'ms': round(dt * 1e3, 2),
                           'tflops': round(flops / dt / 1e12, 1)}),

@@ -1,0 +1,106 @@
+"""w8a8 int8 serving path (mmvid_tpu.ops.int8): op math, calibration,
+backbone parity, and the serving-only guards."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mmvid_tpu.ops.int8 import (
+    CALIB_COL,
+    calibrate_int8_scales,
+    quantize_for_serving,
+    quantized_dense,
+)
+
+
+@pytest.mark.quick
+def test_quantized_dense_matches_fp_within_quant_noise():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(64, 32), jnp.float32)
+    w = jnp.asarray(rng.randn(32, 48) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(48) * 0.01, jnp.float32)
+    ref = x @ w + b
+    out = quantized_dense(x, w, b, a_scale=float(jnp.max(jnp.abs(x))))
+    # int8 symmetric quant: relative error bounded by ~(1/127) per operand
+    rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 0.05, rel
+    # exactness when inputs are already int8-representable on the grid
+    xq = jnp.round(x)  # integers, scale 127 -> exact
+    wq = jnp.round(w * 100) / jnp.max(jnp.abs(jnp.round(w * 100)),
+                                      axis=0) * 127
+    out2 = quantized_dense(xq, jnp.round(wq), None, a_scale=127.0)
+    ref2 = xq @ jnp.round(wq)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               rtol=1e-5, atol=1e-3)
+
+
+@pytest.mark.quick
+def test_quantized_dense_saturates_beyond_scale():
+    x = jnp.asarray([[200.0, -300.0]])
+    w = jnp.eye(2, dtype=jnp.float32)
+    out = quantized_dense(x, w, None, a_scale=100.0)
+    # clipped to +-127 quants of scale 100/127
+    np.testing.assert_allclose(np.asarray(out[0]), [100.0, -100.0],
+                               rtol=1e-5)
+
+
+@pytest.mark.quick
+def test_calibration_records_all_sites():
+    from mmvid_tpu.models.clip import ClipStackConfig, TransformerStack
+
+    cfg = ClipStackConfig(width=64, layers=2, heads=2)
+    stack = TransformerStack(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 9, 64))
+    params = stack.init(jax.random.PRNGKey(1), x, None)['params']
+    _, aux = stack.apply({'params': params}, x, None,
+                         mutable=[CALIB_COL])
+    scales = calibrate_int8_scales([aux[CALIB_COL]], cfg.layers)
+    assert len(scales) == 2 and all(len(s) == 4 for s in scales)
+    assert all(v > 0 for layer in scales for v in layer)
+
+
+def test_quantized_backbone_close_to_fp_and_samples():
+    from __graft_entry__ import _flagship
+
+    model, _ = _flagship(tiny=True)
+    qmodel = quantize_for_serving(model)
+    assert qmodel.params is model.params  # no weight rewrite
+
+    text = jnp.ones((2, model.cfg.text_seq_len), jnp.int32)
+    target = jax.random.randint(
+        jax.random.PRNGKey(1), (2, model.cfg.target_seq_len), 0, 1024)
+
+    lb = model.core.apply({'params': model.params}, text, None, target)[0]
+    lq = qmodel.core.apply({'params': qmodel.params}, text, None, target)[0]
+    cos = float(jnp.sum(lb * lq)
+                / (jnp.linalg.norm(lb) * jnp.linalg.norm(lq)))
+    agree = float(jnp.mean(
+        (jnp.argmax(lb, -1) == jnp.argmax(lq, -1)).astype(jnp.float32)))
+    assert cos > 0.99, cos
+    assert agree > 0.9, agree
+
+    videos, _ = qmodel.generate_images(
+        jax.random.PRNGKey(0), text, mask_predict_steps=2, dynamic=False)
+    assert bool(jnp.all(jnp.isfinite(videos)))
+
+
+@pytest.mark.quick
+def test_int8_is_serving_only():
+    from mmvid_tpu.models.clip import ClipStackConfig, TransformerStack
+
+    scales = (((1.0, 1.0, 1.0, 1.0),) * 2)
+    cfg = ClipStackConfig(width=64, layers=2, heads=2, remat=True,
+                          int8_scales=scales)
+    stack = TransformerStack(cfg)
+    x = jnp.zeros((1, 8, 64))
+    with pytest.raises(AssertionError, match='serving-only'):
+        stack.init(jax.random.PRNGKey(0), x, None)
+
+    cfg_pp = ClipStackConfig(width=64, layers=2, heads=2,
+                             pipeline_stages=2, int8_scales=scales)
+    with pytest.raises(AssertionError, match='pipeline'):
+        TransformerStack(cfg_pp).init(jax.random.PRNGKey(0), x, None)

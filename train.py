@@ -242,78 +242,84 @@ def main_worker(args):
         except (ValueError, OSError):  # non-main thread (tests)
             pass
 
-    for idx in range(start_iter, args.iters):
-        if preempted['sig'] is not None:
-            if is_root():
-                save_checkpoint(str(log_dir), f'preempt_at_{idx}',
-                                ckpt_tree(idx), hparams=hparams,
-                                keep_last=True)
-                print(f'signal {preempted["sig"]}: checkpoint written at '
-                      f'iter {idx}; resume with --start_iter {idx}')
-            for sig, h in prev_handlers.items():
-                signal.signal(sig, h)
-            return
-        batch = next(batches)
-        feed = {'text': np.asarray(batch['text']),
-                'target': np.asarray(batch['target'])}
-        if language_model is not None:
-            feed['text'] = language_model(batch['description'])
-        if model.cfg.num_visuals > 0 and 'visual' in batch:
-            feed['visual'] = np.asarray(batch['visual'])
-        if args.negvc and 'text_neg' in batch:
-            feed['text_neg'] = np.asarray(batch['text_neg'])
-        if args.negvc and 'visual_neg' in batch:
-            feed['visual_neg'] = np.asarray(batch['visual_neg'])
-
-        if profile_dir and idx == start_iter + 10 and is_root():
-            jax.profiler.start_trace(profile_dir)
-        k = jax.random.fold_in(base_key, idx)
-        state, metrics = step_fn(state, feed, k)
-        if profile_dir and idx == start_iter + 15 and is_root():
-            jax.tree_util.tree_map(
-                lambda x: x.block_until_ready(), metrics)
-            jax.profiler.stop_trace()
-
-        # failure detection (reference has none, SURVEY.md §5): a
-        # non-finite loss aborts with an emergency checkpoint instead of
-        # silently corrupting the run
-        if idx % args.log_every == 0:
-            loss_now = float(metrics['loss'])
-            if not np.isfinite(loss_now):
+    try:
+        for idx in range(start_iter, args.iters):
+            if preempted['sig'] is not None:
                 if is_root():
-                    save_checkpoint(str(log_dir), f'nan_at_{idx}',
-                                    ckpt_tree(idx),
-                                    hparams=hparams, keep_last=False)
-                raise FloatingPointError(
-                    f'non-finite loss {loss_now} at iter {idx}; emergency '
-                    f'checkpoint written under {log_dir}/weights/')
+                    save_checkpoint(str(log_dir), f'preempt_at_{idx}',
+                                    ckpt_tree(idx), hparams=hparams,
+                                    keep_last=True)
+                    print(f'signal {preempted["sig"]}: checkpoint written at '
+                          f'iter {idx}; resume with --start_iter {idx}')
+                return
+            batch = next(batches)
+            feed = {'text': np.asarray(batch['text']),
+                    'target': np.asarray(batch['target'])}
+            if language_model is not None:
+                feed['text'] = language_model(batch['description'])
+            if model.cfg.num_visuals > 0 and 'visual' in batch:
+                feed['visual'] = np.asarray(batch['visual'])
+            if args.negvc and 'text_neg' in batch:
+                feed['text_neg'] = np.asarray(batch['text_neg'])
+            if args.negvc and 'visual_neg' in batch:
+                feed['visual_neg'] = np.asarray(batch['visual_neg'])
 
-        if is_root() and (idx % args.log_every == 0):
-            m = {k: float(v) for k, v in metrics.items()}
-            line = (f'iter {idx} loss {m["loss"]:.4f} '
-                    f'msm {m["loss_msm"]:.4f} rel {m["loss_rel"]:.4f} '
-                    f'vid {m["loss_vid"]:.4f} gnorm {m["grad_norm"]:.3f} '
-                    f'({time.time() - t0:.1f}s)')
-            print(line)
-            with open(log_path, 'a') as f:
-                f.write(line + '\n')
+            if profile_dir and idx == start_iter + 10 and is_root():
+                jax.profiler.start_trace(profile_dir)
+            k = jax.random.fold_in(base_key, idx)
+            state, metrics = step_fn(state, feed, k)
+            if profile_dir and idx == start_iter + 15 and is_root():
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready(), metrics)
+                jax.profiler.stop_trace()
 
-        if is_root() and idx and (idx % args.save_every_n_steps == 0):
-            save_checkpoint(str(log_dir), idx, ckpt_tree(idx),
-                            hparams=hparams)
+            # failure detection (reference has none, SURVEY.md §5): a
+            # non-finite loss aborts with an emergency checkpoint instead of
+            # silently corrupting the run
+            if idx % args.log_every == 0:
+                loss_now = float(metrics['loss'])
+                if not np.isfinite(loss_now):
+                    if is_root():
+                        save_checkpoint(str(log_dir), f'nan_at_{idx}',
+                                        ckpt_tree(idx),
+                                        hparams=hparams, keep_last=False)
+                    raise FloatingPointError(
+                        f'non-finite loss {loss_now} at iter {idx}; emergency '
+                        f'checkpoint written under {log_dir}/weights/')
 
-        if is_root() and idx and (idx % args.sample_every == 0) \
-                and not args.ar:
-            from mmvid_tpu.utils.viz import visualize_train
-            model.params = jax.device_get(state.params)
-            k = jax.random.fold_in(viz_key, idx)
-            visualize_train(
-                model, batch, k, str(log_sample_dir), idx,
-                n_sample=args.n_sample,
-                n_per_sample=min(args.n_per_sample, 2),
-                mask_predict_steps=args.mask_predict_steps[0],
-                vc_mode=args.vc_mode, rand_visual=args.rand_visual,
-                webpage=webpage, mp_config=args.mp_config)
+            if is_root() and (idx % args.log_every == 0):
+                m = {k: float(v) for k, v in metrics.items()}
+                line = (f'iter {idx} loss {m["loss"]:.4f} '
+                        f'msm {m["loss_msm"]:.4f} rel {m["loss_rel"]:.4f} '
+                        f'vid {m["loss_vid"]:.4f} gnorm {m["grad_norm"]:.3f} '
+                        f'({time.time() - t0:.1f}s)')
+                print(line)
+                with open(log_path, 'a') as f:
+                    f.write(line + '\n')
+
+            if is_root() and idx and (idx % args.save_every_n_steps == 0):
+                save_checkpoint(str(log_dir), idx, ckpt_tree(idx),
+                                hparams=hparams)
+
+            if is_root() and idx and (idx % args.sample_every == 0) \
+                    and not args.ar:
+                from mmvid_tpu.utils.viz import visualize_train
+                model.params = jax.device_get(state.params)
+                k = jax.random.fold_in(viz_key, idx)
+                visualize_train(
+                    model, batch, k, str(log_sample_dir), idx,
+                    n_sample=args.n_sample,
+                    n_per_sample=min(args.n_per_sample, 2),
+                    mask_predict_steps=args.mask_predict_steps[0],
+                    vc_mode=args.vc_mode, rand_visual=args.rand_visual,
+                    webpage=webpage, mp_config=args.mp_config)
+    finally:
+        # restore prior dispositions on EVERY exit (normal completion,
+        # preemption return, or an abort raise) so handlers never leak
+        # into the caller (in-process driver tests run main_worker
+        # repeatedly)
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
 
     if is_root():
         save_checkpoint(str(log_dir), args.iters, ckpt_tree(args.iters),
