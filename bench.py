@@ -55,6 +55,12 @@ def main():
     steps = 20
 
     model, vae = _flagship(tiny=False, dtype=jnp.bfloat16)
+    if os.environ.get('MMVID_INT8') == '1':
+        # opt-in w8a8 serving quantization (+8% measured, ops/int8.py);
+        # default stays bf16 so the headline number is the quality-parity
+        # path
+        from mmvid_tpu.ops.int8 import quantize_for_serving
+        model = quantize_for_serving(model)
     cfg = model.cfg
 
     text = jnp.ones((batch, cfg.text_seq_len), jnp.int32)

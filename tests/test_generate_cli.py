@@ -57,3 +57,36 @@ def test_generate_cli_end_to_end(tmp_path):
     txts = sorted((tmp_path / 'out').glob('*.txt'))
     assert len(pngs) == 2 and len(txts) == 2
     assert txts[0].read_text() == 'a person is talking'
+
+
+def test_generate_cli_int8(tmp_path):
+    """--int8 serving path: calibrates on startup and produces videos."""
+    from mmvid_tpu.models.bert import BertConfig, BertCore
+    from mmvid_tpu.models.clip import ClipStackConfig
+    from mmvid_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = BertConfig(dim=64, num_text_tokens=49408, text_seq_len=12,
+                     num_visuals=0, num_targets=2, num_image_tokens=1024,
+                     image_fmap_size=2, image_size=32,
+                     clip=ClipStackConfig(width=64, layers=2, heads=2))
+    core = BertCore(cfg)
+    params = core.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 12), jnp.int32), None,
+                       jnp.zeros((1, cfg.target_seq_len), jnp.int32)
+                       )['params']
+    save_checkpoint(str(tmp_path / 'run'), 1,
+                    {'step': 1, 'params': params},
+                    hparams={'dim': 64, 'text_seq_len': 12,
+                             'num_targets': 2, 'num_visuals': 0,
+                             'image_size': 32,
+                             'which_transformer': 'custom:64:2:2'})
+
+    gen = _load('generate')
+    args = gen.parse_args([
+        '--dalle_path', str(tmp_path / 'run' / 'weights' / '1'),
+        '--prompts', 'a person is talking',
+        '--out_dir', str(tmp_path / 'out'),
+        '--batch_size', '1', '--mask_predict_steps', '2',
+        '--format', 'png', '--int8'])
+    gen.main(args)
+    assert len(list((tmp_path / 'out').glob('*.png'))) == 1
