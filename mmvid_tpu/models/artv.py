@@ -354,6 +354,15 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
        caching every layer's K/V.
     2. `lax.scan` over target positions: one-token forward against the cache.
     Returns image tokens [B, target_seq_len] in [0, num_image_tokens).
+
+    Decode-bandwidth design (profiled at flagship size, ROADMAP.md): the
+    per-token step is weight/cache-streaming bound, so (a) block weights
+    and the K/V caches run in the model's compute dtype (bf16 halves HBM
+    traffic; LayerNorms, softmax, and accumulations stay fp32), and (b)
+    the output head is sliced ONCE to the image-token columns before the
+    scan — the reference computes all ~51k vocab logits per step and
+    discards everything but the 1024 image columns (dalle_artv.py:263-276),
+    ~80 MB of dead weight traffic per token at flagship size.
     """
     cfg = core.cfg
     clip_cfg = cfg.clip
@@ -362,6 +371,7 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
     b = text.shape[0]
     L = cfg.total_seq_len  # max positions seen by the transformer
     ctrl_len = cfg.control_seq_len + 1  # +bos
+    dt = core.dtype
 
     ctrl_emb = core.apply({'params': params}, text, visual_tokens,
                           method=ArtvCore.control_tokens_embedding)
@@ -371,72 +381,101 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
         method=lambda m, x: m.image_pos_emb(x))
     image_emb_table = params['image_emb']['embedding']
 
-    def block_step(p, x, cache_k, cache_v, pos):
-        """One-token pass through a block with cache update.
-        x [B, D]; cache_[kv] [B, L, heads, hd]; pos scalar."""
+    def cast_block(p):
+        # weights in the compute dtype (cast once, outside the scan); LN
+        # params and biases stay fp32 (fp32 islands, negligible traffic)
+        def c(sub):
+            return {'kernel': sub['kernel'].astype(dt), 'bias': sub['bias']}
+        return {'ln_1': p['ln_1'], 'ln_2': p['ln_2'],
+                'attn': {k: c(v) for k, v in p['attn'].items()},
+                'mlp': {k: c(v) for k, v in p['mlp'].items()}}
+
+    blocks = [cast_block(_block_params(params, i)) for i in range(n_layers)]
+
+    def dot(x, sub):
+        return jnp.dot(x.astype(dt), sub['kernel'],
+                       preferred_element_type=jnp.float32) + sub['bias']
+
+    def block_step(p, i, x, cache_k, cache_v, pos):
+        """One-token pass through block i, updating the STACKED caches
+        [n_layers, B, L, heads, hd] in place (dynamic_update_slice on the
+        scan carry aliases — no full-cache copy; a per-layer stack/rebuild
+        was measured to double the per-token time at flagship size).
+        x [B, D] fp32; pos scalar."""
         h = _ln(p['ln_1'], x)
-        q = h @ p['attn']['query']['kernel'] + p['attn']['query']['bias']
-        k = h @ p['attn']['key']['kernel'] + p['attn']['key']['bias']
-        v = h @ p['attn']['value']['kernel'] + p['attn']['value']['bias']
+        q = dot(h, p['attn']['query'])
+        k = dot(h, p['attn']['key'])
+        v = dot(h, p['attn']['value'])
         q = q.reshape(b, heads, hd)
         cache_k = jax.lax.dynamic_update_slice(
-            cache_k, k.reshape(b, 1, heads, hd), (0, pos, 0, 0))
+            cache_k, k.reshape(1, b, 1, heads, hd).astype(dt),
+            (i, 0, pos, 0, 0))
         cache_v = jax.lax.dynamic_update_slice(
-            cache_v, v.reshape(b, 1, heads, hd), (0, pos, 0, 0))
-        logits = jnp.einsum('bhd,blhd->bhl', q, cache_k) * (hd ** -0.5)
+            cache_v, v.reshape(1, b, 1, heads, hd).astype(dt),
+            (i, 0, pos, 0, 0))
+        logits = jnp.einsum('bhd,blhd->bhl', q.astype(dt), cache_k[i],
+                            preferred_element_type=jnp.float32)
+        logits = logits * (hd ** -0.5)
         valid = jnp.arange(L)[None, None, :] <= pos
         logits = jnp.where(valid, logits, -1e9)
         attn = jax.nn.softmax(logits, axis=-1)
-        o = jnp.einsum('bhl,blhd->bhd', attn, cache_v).reshape(b, -1)
-        o = o @ p['attn']['out']['kernel'] + p['attn']['out']['bias']
+        o = jnp.einsum('bhl,blhd->bhd', attn.astype(dt), cache_v[i],
+                       preferred_element_type=jnp.float32).reshape(b, -1)
+        o = dot(o, p['attn']['out'])
         x = x + o
         h = _ln(p['ln_2'], x)
-        h = h @ p['mlp']['fc']['kernel'] + p['mlp']['fc']['bias']
+        h = dot(h, p['mlp']['fc'])
         h = h * jax.nn.sigmoid(1.702 * h)
-        h = h @ p['mlp']['proj']['kernel'] + p['mlp']['proj']['bias']
+        h = dot(h, p['mlp']['proj'])
         return x + h, cache_k, cache_v
 
     # ---- prefill: run the control prefix through all blocks, keep K/V ----
     def prefill_block(p, x):
         lp = x.shape[1]
         h = _ln(p['ln_1'], x)
-        q = h @ p['attn']['query']['kernel'] + p['attn']['query']['bias']
-        k = h @ p['attn']['key']['kernel'] + p['attn']['key']['bias']
-        v = h @ p['attn']['value']['kernel'] + p['attn']['value']['bias']
+        q = dot(h, p['attn']['query'])
+        k = dot(h, p['attn']['key'])
+        v = dot(h, p['attn']['value'])
         q = q.reshape(b, lp, heads, hd)
         k = k.reshape(b, lp, heads, hd)
         v = v.reshape(b, lp, heads, hd)
-        logits = jnp.einsum('bqhd,bkhd->bhqk', q, k) * (hd ** -0.5)
+        logits = jnp.einsum('bqhd,bkhd->bhqk', q.astype(dt), k.astype(dt),
+                            preferred_element_type=jnp.float32)
+        logits = logits * (hd ** -0.5)
         causal = jnp.tril(jnp.ones((lp, lp), bool))
         logits = jnp.where(causal[None, None], logits, -1e9)
         attn = jax.nn.softmax(logits, axis=-1)
-        o = jnp.einsum('bhqk,bkhd->bqhd', attn, v).reshape(b, lp, -1)
-        o = o @ p['attn']['out']['kernel'] + p['attn']['out']['bias']
+        o = jnp.einsum('bhqk,bkhd->bqhd', attn.astype(dt), v.astype(dt),
+                       preferred_element_type=jnp.float32
+                       ).reshape(b, lp, -1)
+        o = dot(o, p['attn']['out'])
         x = x + o
         h = _ln(p['ln_2'], x)
-        h = h @ p['mlp']['fc']['kernel'] + p['mlp']['fc']['bias']
+        h = dot(h, p['mlp']['fc'])
         h = h * jax.nn.sigmoid(1.702 * h)
-        h = h @ p['mlp']['proj']['kernel'] + p['mlp']['proj']['bias']
+        h = dot(h, p['mlp']['proj'])
         return x + h, k, v
 
-    cache_k = jnp.zeros((n_layers, b, L, heads, hd))
-    cache_v = jnp.zeros((n_layers, b, L, heads, hd))
+    cache_k = jnp.zeros((n_layers, b, L, heads, hd), dt)
+    cache_v = jnp.zeros((n_layers, b, L, heads, hd), dt)
     x = ctrl_emb
-    last_hidden = None
     for i in range(n_layers):
-        x, k, v = prefill_block(_block_params(params, i), x)
-        cache_k = cache_k.at[i, :, :ctrl_len].set(k)
-        cache_v = cache_v.at[i, :, :ctrl_len].set(v)
+        x, k, v = prefill_block(blocks[i], x)
+        cache_k = cache_k.at[i, :, :ctrl_len].set(k.astype(dt))
+        cache_v = cache_v.at[i, :, :ctrl_len].set(v.astype(dt))
     prefix_last = x[:, -1]  # hidden of the last control position
 
     ln_p = params['to_logits_ln']
-    fc_k = params['to_logits_fc']['kernel']
-    fc_b = params['to_logits_fc']['bias']
+    # image-range slice of the output head, cast once: only these columns
+    # survive sample_tok, the rest of the ~51k-vocab matmul is dead work
+    fc_k = params['to_logits_fc']['kernel'][
+        :, cfg.num_control_tokens:].astype(dt)
+    fc_b = params['to_logits_fc']['bias'][cfg.num_control_tokens:]
 
     def image_logits(hidden):
         h = _ln(ln_p, hidden)
-        logits = h @ fc_k + fc_b
-        return logits[:, cfg.num_control_tokens:]  # image range only
+        return (jnp.dot(h.astype(dt), fc_k,
+                        preferred_element_type=jnp.float32) + fc_b)
 
     k_img = max(int((1 - filter_thres) * cfg.total_tokens), 1)
     k_img = min(k_img, cfg.num_image_tokens)
@@ -458,14 +497,9 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
         emb = (image_emb_table[tok] + pos_emb_full[:, step_i]
                ).astype(jnp.float32)
         x = emb
-        new_k, new_v = [], []
         for i in range(n_layers):
-            x, ck, cv = block_step(_block_params(params, i), x,
-                                   cache_k[i], cache_v[i], pos)
-            new_k.append(ck)
-            new_v.append(cv)
-        cache_k = jnp.stack(new_k)
-        cache_v = jnp.stack(new_v)
+            x, cache_k, cache_v = block_step(blocks[i], i, x,
+                                             cache_k, cache_v, pos)
         key, ks = jax.random.split(key)
         nxt = sample_tok(ks, image_logits(x))
         return (cache_k, cache_v, nxt, key), tok
