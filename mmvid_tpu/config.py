@@ -152,6 +152,10 @@ def get_args_train(argv=None):
     add('--dist_backend', default='nccl', type=str)
     add('--multiprocessing_distributed', action='store_true')
     add('--save_every_n_steps', default=5000, type=int)
+    # beyond-parity: overlap the periodic orbax write with training (the
+    # reference's torch.save blocks the loop); final/emergency saves stay
+    # synchronous
+    add('--async_ckpt', action='store_true')
     add('--learning_rate', default=1e-4, type=float)
     add('--clip_grad_norm', default=1.0, type=float)
     add('--no_lr_decay', action='store_true')

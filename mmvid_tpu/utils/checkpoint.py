@@ -81,3 +81,30 @@ def _jsonable(obj):
     if isinstance(obj, np.ndarray):
         return obj.tolist()
     return obj
+
+
+class AsyncCheckpointWriter:
+    """Overlap checkpoint writes with training (beyond-parity; the
+    reference's torch.save blocks the loop, utils_train.py:297-305).
+
+    The caller still does the device->host transfer (building the tree);
+    the orbax/file write runs on one worker thread.  ``submit`` first joins
+    any in-flight write, so at most one checkpoint is buffered in host RAM
+    and ``weights/last`` is never written concurrently.  Call ``wait()``
+    before any synchronous save and at shutdown; a worker exception
+    surfaces on the next submit()/wait().
+    """
+
+    def __init__(self):
+        from concurrent.futures import ThreadPoolExecutor
+        self._pool = ThreadPoolExecutor(1, 'ckpt-writer')
+        self._inflight = None
+
+    def submit(self, *args, **kwargs):
+        self.wait()
+        self._inflight = self._pool.submit(save_checkpoint, *args, **kwargs)
+
+    def wait(self):
+        if self._inflight is not None:
+            f, self._inflight = self._inflight, None
+            f.result()

@@ -208,3 +208,20 @@ def test_train_driver_preemption_checkpoint(data_tree, tmp_path):
     assert 'params' in tree and 'opt_state' in tree and 'step' in tree
     # and the default SIGTERM disposition is restored
     assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+
+def test_train_driver_async_checkpoint(data_tree, tmp_path):
+    """--async_ckpt: periodic saves overlap training on a worker thread
+    and produce the same loadable checkpoints as the sync path."""
+    train_mod = _load('train')
+    args = _train_args(data_tree, tmp_path, extra=['--async_ckpt'])
+    args.name = 'tiny_async'
+    train_mod.main_worker(args)
+
+    log_dir = tmp_path / 'logs' / 'tiny_async'
+    assert (log_dir / 'weights' / '2').exists()   # periodic (async)
+    assert (log_dir / 'weights' / '3').exists()   # final (sync)
+    from mmvid_tpu.utils.checkpoint import load_checkpoint
+    tree, hparams = load_checkpoint(str(log_dir / 'weights' / '2'))
+    assert 'params' in tree and 'opt_state' in tree and tree['step'] == 2
+    assert hparams['async_ckpt'] is True

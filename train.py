@@ -217,6 +217,14 @@ def main_worker(args):
     hparams = {k: v for k, v in vars(args).items()
                if isinstance(v, (int, float, str, bool, type(None)))}
 
+    # --async_ckpt: periodic saves overlap with training; emergency/final
+    # saves below first wait() so weights/last is never written twice at
+    # once
+    ckpt_writer = None
+    if getattr(args, 'async_ckpt', False) and is_root():
+        from mmvid_tpu.utils.checkpoint import AsyncCheckpointWriter
+        ckpt_writer = AsyncCheckpointWriter()
+
     def ckpt_tree(idx):
         from mmvid_tpu.training import opt_state_leaves
         model.params = jax.device_get(state.params)
@@ -246,6 +254,8 @@ def main_worker(args):
         for idx in range(start_iter, args.iters):
             if preempted['sig'] is not None:
                 if is_root():
+                    if ckpt_writer is not None:
+                        ckpt_writer.wait()
                     save_checkpoint(str(log_dir), f'preempt_at_{idx}',
                                     ckpt_tree(idx), hparams=hparams,
                                     keep_last=True)
@@ -280,6 +290,8 @@ def main_worker(args):
                 loss_now = float(metrics['loss'])
                 if not np.isfinite(loss_now):
                     if is_root():
+                        if ckpt_writer is not None:
+                            ckpt_writer.wait()
                         save_checkpoint(str(log_dir), f'nan_at_{idx}',
                                         ckpt_tree(idx),
                                         hparams=hparams, keep_last=False)
@@ -298,8 +310,12 @@ def main_worker(args):
                     f.write(line + '\n')
 
             if is_root() and idx and (idx % args.save_every_n_steps == 0):
-                save_checkpoint(str(log_dir), idx, ckpt_tree(idx),
-                                hparams=hparams)
+                if ckpt_writer is not None:
+                    ckpt_writer.submit(str(log_dir), idx, ckpt_tree(idx),
+                                       hparams=hparams)
+                else:
+                    save_checkpoint(str(log_dir), idx, ckpt_tree(idx),
+                                    hparams=hparams)
 
             if is_root() and idx and (idx % args.sample_every == 0) \
                     and not args.ar:
@@ -322,6 +338,8 @@ def main_worker(args):
             signal.signal(sig, h)
 
     if is_root():
+        if ckpt_writer is not None:
+            ckpt_writer.wait()
         save_checkpoint(str(log_dir), args.iters, ckpt_tree(args.iters),
                         hparams=hparams)
         print('training done')
