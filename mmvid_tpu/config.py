@@ -199,6 +199,10 @@ def get_args_test(argv=None):
     add('--save_codebook', action='store_true')
     add('--long_mode', type=str, default='long',
         help='long | interp | interp_real')
+    # beyond-parity: w8a8 int8 serving quantization of the backbone
+    # (ops/int8.py; calibrated on startup).  NB eval metrics then measure
+    # the quantized model.
+    add('--int8', action='store_true')
     return p.parse_args(argv), p
 
 

@@ -112,9 +112,11 @@ def quantize_for_serving(model, text=None, key=None):
     cfg = model.cfg
     key = key if key is not None else jax.random.PRNGKey(0)
     if text is None:
-        assert cfg.fixed_language_model is None
-        text = jax.random.randint(key, (4, cfg.text_seq_len), 1,
-                                  min(1000, cfg.num_text_tokens))
+        if cfg.fixed_language_model is None:
+            text = jax.random.randint(key, (4, cfg.text_seq_len), 1,
+                                      min(1000, cfg.num_text_tokens))
+        else:  # fixed-LM models take pooled float features
+            text = jax.random.normal(key, (4, cfg.text_feature_dim))
     visual = (jnp.full((text.shape[0], cfg.visual_seq_len), cfg.mask_token,
                        jnp.int32) if cfg.num_visuals > 0 else None)
     masked = jnp.full((text.shape[0], cfg.target_seq_len), cfg.mask_token,

@@ -99,6 +99,10 @@ def main_worker(args):
     model.params = adapt_stack_layout(
         params, model.cfg.clip.layers,
         model.cfg.clip.pipeline_stages > 1)
+    if getattr(args, 'int8', False) and not args.ar:
+        from mmvid_tpu.ops.int8 import quantize_for_serving
+        model = quantize_for_serving(model)
+        print('int8: backbone quantized (w8a8, calibrated static scales)')
 
     dataset = factories.get_dataset(args, tokenizer)
     print(f'{len(dataset)} samples found')

@@ -225,3 +225,31 @@ def test_train_driver_async_checkpoint(data_tree, tmp_path):
     tree, hparams = load_checkpoint(str(log_dir / 'weights' / '2'))
     assert 'params' in tree and 'opt_state' in tree and tree['step'] == 2
     assert hparams['async_ckpt'] is True
+
+
+def test_test_driver_int8_sampling(data_tree, tmp_path):
+    """test.py --int8: quantize-for-serving path through the test driver."""
+    train_mod = _load('train')
+    test_mod = _load('test')
+    from mmvid_tpu.config import process_args
+
+    args = _train_args(data_tree, tmp_path)
+    args.name = 'tiny_int8'
+    train_mod.main_worker(args)
+
+    argv = [
+        '--image_text_folder', str(data_tree),
+        '--dataset', 'video_text',
+        '--name', 'tiny_int8', '--log_root', str(tmp_path / 'logs'),
+        '--batch_size', '2',
+        '--which_transformer', 'custom:64:2:2', '--dim', '64',
+        '--text_seq_len', '12', '--num_targets', '2', '--num_visuals', '0',
+        '--frame_num', '2', '--frame_step', '2', '--image_size', '32',
+        '--n_per_sample', '1', '--mask_predict_steps', '2',
+        '--num_workers', '2', '--int8',
+    ]
+    targs = process_args(train=False, argv=argv)
+    test_mod.main_worker(targs)
+    samples = list((tmp_path / 'logs' / 'tiny_int8' / 'samples'
+                    ).glob('*.png'))
+    assert samples, 'no int8 sample grids written'
