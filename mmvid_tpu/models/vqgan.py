@@ -50,6 +50,11 @@ class VQGanConfig:
     num_res_blocks: int = 2
     attn_resolutions: Sequence[int] = (16,)
     dropout: float = 0.0
+    # w8a8 int8 serving path for the DECODER convs (ops/int8.py): sorted
+    # ('decoder/<module path>/<conv name>', activation_scale) pairs from
+    # mmvid_tpu.ops.int8.quantize_vae_decoder.  None = bf16/fp32 path.
+    # Serving-only; the encode path (training) is never quantized.
+    int8_scales: Any = None
 
     @property
     def num_layers(self) -> int:
@@ -66,25 +71,57 @@ def _norm(name: str, dtype=jnp.float32):
                         name=name)
 
 
+class _ConvParams(nn.Module):
+    """Holds an nn.Conv's kernel/bias without applying it (identical param
+    tree and init, for the int8 path that consumes raw weights)."""
+    features: int
+    ksize: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            'kernel', nn.initializers.lecun_normal(),
+            self.ksize + (x.shape[-1], self.features))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+def _conv(mod: nn.Module, x, features: int, ksize, name: str,
+          int8_scales=None):
+    """Stride-1 SAME conv site that (a) sows its input abs-max when a
+    CALIB_COL collection is mutable and (b) runs the int8 MXU path when
+    the module's path has a calibrated scale in ``int8_scales``."""
+    from mmvid_tpu.ops.int8 import CALIB_COL, quantized_conv
+    if mod.is_mutable_collection(CALIB_COL):
+        mod.sow(CALIB_COL, f'{name}_in', jnp.max(jnp.abs(x)))
+    sc = None
+    if int8_scales:
+        sc = dict(int8_scales).get('/'.join(tuple(mod.path) + (name,)))
+    if sc is None:
+        return nn.Conv(features, ksize, dtype=mod.dtype, name=name)(x)
+    kernel, bias = _ConvParams(features, tuple(ksize), name=name)(x)
+    return quantized_conv(x, kernel, bias, sc)
+
+
 class ResnetBlock(nn.Module):
     """taming model.py:87-148 (temb unused in VQGAN: temb_channels=0)."""
     in_channels: int
     out_channels: int
     dtype: Any = jnp.float32
+    int8_scales: Any = None
 
     @nn.compact
     def __call__(self, x):
+        sc = self.int8_scales
         h = _norm('norm1')(x)
         h = nn.silu(h).astype(self.dtype)
-        h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype,
-                    name='conv1')(h)
+        h = _conv(self, h, self.out_channels, (3, 3), 'conv1', sc)
         h = _norm('norm2')(h)
         h = nn.silu(h).astype(self.dtype)
-        h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype,
-                    name='conv2')(h)
+        h = _conv(self, h, self.out_channels, (3, 3), 'conv2', sc)
         if self.in_channels != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                        name='nin_shortcut')(x)
+            x = _conv(self, x, self.out_channels, (1, 1), 'nin_shortcut',
+                      sc)
         return x + h
 
 
@@ -92,14 +129,16 @@ class AttnBlock(nn.Module):
     """Single-head spatial self-attention (taming model.py:153-205)."""
     channels: int
     dtype: Any = jnp.float32
+    int8_scales: Any = None
 
     @nn.compact
     def __call__(self, x):
+        sc = self.int8_scales
         b, hh, ww, c = x.shape
         h = _norm('norm')(x).astype(self.dtype)
-        q = nn.Conv(c, (1, 1), dtype=self.dtype, name='q')(h)
-        k = nn.Conv(c, (1, 1), dtype=self.dtype, name='k')(h)
-        v = nn.Conv(c, (1, 1), dtype=self.dtype, name='v')(h)
+        q = _conv(self, h, c, (1, 1), 'q', sc)
+        k = _conv(self, h, c, (1, 1), 'k', sc)
+        v = _conv(self, h, c, (1, 1), 'v', sc)
         q = q.reshape(b, hh * ww, c)
         k = k.reshape(b, hh * ww, c)
         v = v.reshape(b, hh * ww, c)
@@ -110,7 +149,7 @@ class AttnBlock(nn.Module):
         out = jnp.einsum('bij,bjc->bic', attn, v,
                          preferred_element_type=jnp.float32)
         out = out.reshape(b, hh, ww, c).astype(self.dtype)
-        out = nn.Conv(c, (1, 1), dtype=self.dtype, name='proj_out')(out)
+        out = _conv(self, out, c, (1, 1), 'proj_out', sc)
         return x + out
 
 
@@ -130,13 +169,14 @@ class Upsample(nn.Module):
     """Nearest x2 + conv (taming model.py:45-62)."""
     channels: int
     dtype: Any = jnp.float32
+    int8_scales: Any = None
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method='nearest')
-        return nn.Conv(self.channels, (3, 3), dtype=self.dtype,
-                       name='conv')(x)
+        return _conv(self, x, self.channels, (3, 3), 'conv',
+                     self.int8_scales)
 
 
 class Encoder(nn.Module):
@@ -189,35 +229,39 @@ class Decoder(nn.Module):
     @nn.compact
     def __call__(self, z):
         cfg = self.cfg
+        sc = cfg.int8_scales
         z = z.astype(self.dtype)
         num_resolutions = len(cfg.ch_mult)
         block_in = cfg.ch * cfg.ch_mult[num_resolutions - 1]
         curr_res = cfg.resolution // 2 ** (num_resolutions - 1)
 
-        h = nn.Conv(block_in, (3, 3), dtype=self.dtype, name='conv_in')(z)
+        h = _conv(self, z, block_in, (3, 3), 'conv_in', sc)
         h = ResnetBlock(block_in, block_in, dtype=self.dtype,
-                        name='mid_block_1')(h)
-        h = AttnBlock(block_in, dtype=self.dtype, name='mid_attn_1')(h)
+                        int8_scales=sc, name='mid_block_1')(h)
+        h = AttnBlock(block_in, dtype=self.dtype, int8_scales=sc,
+                      name='mid_attn_1')(h)
         h = ResnetBlock(block_in, block_in, dtype=self.dtype,
-                        name='mid_block_2')(h)
+                        int8_scales=sc, name='mid_block_2')(h)
 
         for i_level in reversed(range(num_resolutions)):
             block_out = cfg.ch * cfg.ch_mult[i_level]
             for i_block in range(cfg.num_res_blocks + 1):
                 h = ResnetBlock(block_in, block_out, dtype=self.dtype,
+                                int8_scales=sc,
                                 name=f'up_{i_level}_block_{i_block}')(h)
                 block_in = block_out
                 if curr_res in cfg.attn_resolutions:
                     h = AttnBlock(block_in, dtype=self.dtype,
+                                  int8_scales=sc,
                                   name=f'up_{i_level}_attn_{i_block}')(h)
             if i_level != 0:
-                h = Upsample(block_in, dtype=self.dtype,
+                h = Upsample(block_in, dtype=self.dtype, int8_scales=sc,
                              name=f'up_{i_level}_upsample')(h)
                 curr_res *= 2
 
         h = _norm('norm_out')(h)
         h = nn.silu(h).astype(self.dtype)
-        h = nn.Conv(cfg.out_ch, (3, 3), dtype=self.dtype, name='conv_out')(h)
+        h = _conv(self, h, cfg.out_ch, (3, 3), 'conv_out', sc)
         return h
 
 

@@ -56,6 +56,76 @@ def quantized_dense(x, kernel, bias, a_scale: float):
     return out.astype(x.dtype)
 
 
+def quantized_conv(x, kernel, bias, a_scale: float, strides=(1, 1),
+                   padding='SAME'):
+    """NHWC conv on the int8 MXU path (measured 1.87x bf16 at VQGAN
+    decoder shapes — probe in ROADMAP.md).  kernel [kh,kw,in,out]
+    unquantized, per-output-channel symmetric weight scales computed
+    in-trace (hoisted by XLA); activations quantized with the calibrated
+    static ``a_scale``.
+    """
+    w_scale = jnp.max(jnp.abs(kernel), axis=(0, 1, 2)
+                      ).astype(jnp.float32) / 127.0
+    w_scale = jnp.maximum(w_scale, 1e-8)
+    w_q = jnp.round(kernel.astype(jnp.float32) / w_scale).astype(jnp.int8)
+    x_q = jnp.round(jnp.clip(x.astype(jnp.float32) * (127.0 / a_scale),
+                             -127.0, 127.0)).astype(jnp.int8)
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                        ('NHWC', 'HWIO', 'NHWC'))
+    acc = jax.lax.conv_general_dilated(
+        x_q, w_q, strides, padding, dimension_numbers=dn,
+        preferred_element_type=jnp.int32)
+    out = (acc.astype(jnp.float32)
+           * (w_scale * (a_scale / 127.0))[None, None, None, :])
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _flatten_calib(tree):
+    """Flatten a sowed CALIB_COL tree to {'a/b/site_in': [floats]}."""
+    flat = {}
+
+    def walk(t, prefix=''):
+        for k, v in t.items():
+            path = f'{prefix}{k}'
+            if isinstance(v, dict):
+                walk(v, path + '/')
+            else:
+                flat.setdefault(path, []).extend(_leaf_values(v))
+
+    walk(tree)
+    return flat
+
+
+def quantize_vae_decoder(vae, sample_tokens=None, key=None):
+    """Calibrate the VQGAN DECODER's conv inputs on sample token grids and
+    return a new VQGanVAE whose decode path runs int8 convs (params
+    shared, unchanged; encode path stays bf16/fp32 — it feeds training).
+    """
+    import dataclasses
+
+    from mmvid_tpu.models.vqgan import VQGanVAE, VQModel
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    if sample_tokens is None:
+        sample_tokens = jax.random.randint(
+            key, (4, vae.image_seq_len), 0, vae.num_tokens)
+    b, n = sample_tokens.shape
+    f = int(n ** 0.5)
+    _, aux = vae.module.apply(
+        {'params': vae.params}, sample_tokens.reshape(b, f, f),
+        method=VQModel.decode_code, mutable=[CALIB_COL])
+    flat = _flatten_calib(aux[CALIB_COL])
+    scales = tuple(sorted(
+        (path[:-len('_in')], round(max(vals), 4))
+        for path, vals in flat.items() if path.endswith('_in')))
+    assert scales, 'decoder calibration produced no conv records'
+    new_cfg = dataclasses.replace(vae.cfg, int8_scales=scales)
+    return VQGanVAE(params=vae.params, image_size=vae.image_size,
+                    cfg=new_cfg, dtype=vae.module.dtype)
+
+
 def _leaf_values(leaf):
     if isinstance(leaf, (tuple, list)):
         out = []
@@ -72,17 +142,9 @@ def calibrate_int8_scales(calib_trees, n_layers: int):
     (sites: qkv_in / out_in / fc_in / proj_in, sowed in models/clip.py).
     """
     flat = {}
-
-    def walk(tree, prefix=''):
-        for k, v in tree.items():
-            path = f'{prefix}{k}'
-            if isinstance(v, dict):
-                walk(v, path + '/')
-            else:
-                flat.setdefault(path, []).extend(_leaf_values(v))
-
     for tree in calib_trees:
-        walk(tree)
+        for p, vals in _flatten_calib(tree).items():
+            flat.setdefault(p, []).extend(vals)
     scales = []
     for i in range(n_layers):
         layer = []
@@ -97,9 +159,10 @@ def calibrate_int8_scales(calib_trees, n_layers: int):
     return tuple(scales)
 
 
-def quantize_for_serving(model, text=None, key=None):
+def quantize_for_serving(model, text=None, key=None, decoder=True):
     """Calibrate activation scales and return a new MMVIDBert whose
-    backbone runs the w8a8 int8 MXU path (params shared, unchanged).
+    backbone (and, with ``decoder=True``, the VQGAN decoder convs) runs
+    the w8a8 int8 MXU path (params shared, unchanged).
 
     Calibration forwards: the sampler's step-0 state (fully-[MASK] target)
     plus a random-token target, so both ends of the mask-predict
@@ -131,5 +194,6 @@ def quantize_for_serving(model, text=None, key=None):
     scales = calibrate_int8_scales(trees, cfg.clip.layers)
     new_cfg = dataclasses.replace(
         cfg, clip=dataclasses.replace(cfg.clip, int8_scales=scales))
-    return MMVIDBert(new_cfg, model.vae, cvae=model.cvae,
+    vae = quantize_vae_decoder(model.vae, key=key) if decoder else model.vae
+    return MMVIDBert(new_cfg, vae, cvae=model.cvae,
                      params=model.params, dtype=model.core.dtype)

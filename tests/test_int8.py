@@ -104,3 +104,36 @@ def test_int8_is_serving_only():
                              pipeline_stages=2, int8_scales=scales)
     with pytest.raises(AssertionError, match='pipeline'):
         TransformerStack(cfg_pp).init(jax.random.PRNGKey(0), x, None)
+
+
+def test_quantized_vae_decoder_close_to_fp():
+    from mmvid_tpu.models.vqgan import VQGanConfig, VQGanVAE
+    from mmvid_tpu.ops.int8 import quantize_vae_decoder
+
+    cfg = VQGanConfig(resolution=64, ch=32, ch_mult=(1, 2),
+                      num_res_blocks=1, z_channels=64, embed_dim=64,
+                      n_embed=256, attn_resolutions=(32,))
+    vae = VQGanVAE(image_size=64, cfg=cfg)
+    qvae = quantize_vae_decoder(vae)
+    assert qvae.params is vae.params  # no weight rewrite
+    # every decoder conv site calibrated (conv_in/out + res/attn/upsample)
+    paths = [p for p, _ in qvae.cfg.int8_scales]
+    assert 'decoder/conv_in' in paths and 'decoder/conv_out' in paths
+    assert any('mid_attn_1/q' in p for p in paths)
+    assert any('upsample/conv' in p for p in paths)
+
+    seq = jax.random.randint(jax.random.PRNGKey(1), (2, 1024), 0, 256)
+    a = np.asarray(vae.decode(seq))
+    b = np.asarray(qvae.decode(seq))
+    assert np.mean(np.abs(a - b)) < 0.02
+    assert np.max(np.abs(a - b)) < 0.2
+
+
+def test_quantize_for_serving_includes_decoder():
+    from __graft_entry__ import _flagship
+
+    model, _ = _flagship(tiny=True)
+    q = quantize_for_serving(model)
+    assert q.vae.cfg.int8_scales, 'decoder not quantized by default'
+    q2 = quantize_for_serving(model, decoder=False)
+    assert q2.vae is model.vae
