@@ -156,6 +156,9 @@ def get_args_train(argv=None):
     # reference's torch.save blocks the loop); final/emergency saves stay
     # synchronous
     add('--async_ckpt', action='store_true')
+    # beyond-parity: restarted jobs (same command line, e.g. after a
+    # SIGTERM preemption) resume from their own <log>/weights/last
+    add('--auto_resume', action='store_true')
     add('--learning_rate', default=1e-4, type=float)
     add('--clip_grad_norm', default=1.0, type=float)
     add('--no_lr_decay', action='store_true')

@@ -203,7 +203,6 @@ class MultiHeadAttention(nn.Module):
                              preferred_element_type=jnp.float32)
             out = out.transpose(0, 2, 1, 3).reshape(b, l, d).astype(
                 self.dtype)
-        from mmvid_tpu.ops.int8 import CALIB_COL
         if self.is_mutable_collection(CALIB_COL):
             self.sow(CALIB_COL, 'out_in', jnp.max(jnp.abs(out)))
         return self._proj(out, 'out', sc[1])
@@ -244,9 +243,14 @@ class ResidualAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None):
         import os
+
+        from mmvid_tpu.ops.int8 import CALIB_COL
         sc = self.int8_scales
         if (os.environ.get('MMVID_FUSED_LNQKV') == '1'
-                and self.width % 128 == 0 and sc is None):
+                and self.width % 128 == 0 and sc is None
+                # calibration must go through MultiHeadAttention/Mlp so
+                # their qkv_in/out_in abs-max records get sowed
+                and not self.is_mutable_collection(CALIB_COL)):
             # ln_1 statistics computed inside the QKV kernel; param tree
             # identical to the unfused path
             ln_scale, ln_bias = _LNParams(name='ln_1')(self.width)

@@ -23,12 +23,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_packed_kernel(d: int, hpb: int):
+def _make_packed_kernel(d: int, hpb: int, bf16_av: bool):
     """Kernel over a [L, hpb*d] block: hpb heads packed side by side so the
     block's lane width is a 128 multiple while the array keeps the
     residual-stream [B, L, H*D] layout."""
-
-    bf16_av = os.environ.get('MMVID_ATTN_BF16') == '1'
 
     def kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
         for i in range(hpb):
@@ -82,16 +80,19 @@ def _attention_xla(q, k, v, mask, scale):
     return out.astype(q.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _fused_attention(q, k, v, mask, scale, interpret):
-    return _pallas_attention(q, k, v, mask, scale, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _fused_attention(q, k, v, mask, scale, interpret, bf16_av, hpb_env):
+    return _pallas_attention(q, k, v, mask, scale, interpret, bf16_av,
+                             hpb_env)
 
 
-def _fused_attention_fwd(q, k, v, mask, scale, interpret):
-    return _fused_attention(q, k, v, mask, scale, interpret), (q, k, v, mask)
+def _fused_attention_fwd(q, k, v, mask, scale, interpret, bf16_av, hpb_env):
+    return (_fused_attention(q, k, v, mask, scale, interpret, bf16_av,
+                             hpb_env),
+            (q, k, v, mask))
 
 
-def _fused_attention_bwd(scale, interpret, res, g):
+def _fused_attention_bwd(scale, interpret, bf16_av, hpb_env, res, g):
     # Backward = VJP of the XLA reference, recomputing the [B,H,L,L]
     # probabilities (the kernel never materialized them).  This is what
     # makes MMVID_PALLAS_ATTN=1 usable in training, not just sampling.
@@ -105,7 +106,6 @@ def _fused_attention_bwd(scale, interpret, res, g):
 _fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=('sm_scale', 'interpret'))
 def fused_attention_blhd(q, k, v, mask, sm_scale=None, interpret=False):
     """q,k,v [B,L,H,D]; additive mask [L,L] (or None) -> [B,L,H,D].
 
@@ -114,24 +114,32 @@ def fused_attention_blhd(q, k, v, mask, sm_scale=None, interpret=False):
     showed the post-attention transpose forced a strided-layout LayerNorm
     worth 26% of sampler device time.  Scaling uses the TRUE head dim.
     Differentiable: forward is the Pallas kernel, backward an XLA
-    recompute (custom_vjp above)."""
+    recompute (custom_vjp above).
+
+    NOT jitted itself (callers trace it inside their own jit): the env
+    flags below must be re-read at every trace — a module-level jit would
+    cache the first trace and silently serve stale kernel variants to
+    later in-process flag changes (bench_sweep runs variants in-process).
+    """
     b, l, h, d = q.shape
     scale = sm_scale if sm_scale is not None else d ** -0.5
     if mask is None:
         mask = jnp.zeros((l, l), jnp.float32)
-    return _fused_attention(q, k, v, mask, scale, interpret)
+    bf16_av = os.environ.get('MMVID_ATTN_BF16') == '1'
+    hpb_env = int(os.environ.get('MMVID_ATTN_HPB', '0'))
+    return _fused_attention(q, k, v, mask, scale, interpret, bf16_av,
+                            hpb_env)
 
 
-def _pallas_attention(q, k, v, mask, scale, interpret):
+def _pallas_attention(q, k, v, mask, scale, interpret, bf16_av, hpb_env):
     b, l, h, d = q.shape
 
     # heads packed to a 128-lane block width (2 heads at d=64);
-    # MMVID_ATTN_HPB overrides to amortize per-program overhead over more
-    # heads (lane width stays a 128 multiple)
+    # hpb_env (MMVID_ATTN_HPB) overrides to amortize per-program overhead
+    # over more heads (lane width stays a 128 multiple)
     hpb = max(1, 128 // d) if 128 % d == 0 else 1
-    env_hpb = int(os.environ.get('MMVID_ATTN_HPB', '0'))
-    if env_hpb > 0 and h % env_hpb == 0 and (env_hpb * d) % 128 == 0:
-        hpb = env_hpb
+    if hpb_env > 0 and h % hpb_env == 0 and (hpb_env * d) % 128 == 0:
+        hpb = hpb_env
     if h % hpb != 0:
         hpb = 1
     # sublane-mult padding only (16 covers bf16); Mosaic pads lanes
@@ -153,7 +161,7 @@ def _pallas_attention(q, k, v, mask, scale, interpret):
     spec = pl.BlockSpec((1, lp, hpb * d), lambda bi, hi: (bi, 0, hi),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _make_packed_kernel(d, hpb),
+        _make_packed_kernel(d, hpb, bf16_av),
         grid=(b, h // hpb),
         in_specs=[spec, spec, spec,
                   pl.BlockSpec((lp, lp), lambda bi, hi: (0, 0),
@@ -165,7 +173,6 @@ def _pallas_attention(q, k, v, mask, scale, interpret):
     return out[:, :l].reshape(b, l, h, d)
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',))
 def fused_attention(q, k, v, mask, sm_scale=None, interpret=False):
     """q,k,v [B,H,L,D] -> [B,H,L,D] (compat wrapper over the layout-
     preserving kernel)."""

@@ -118,7 +118,7 @@ def quantize_vae_decoder(vae, sample_tokens=None, key=None):
         method=VQModel.decode_code, mutable=[CALIB_COL])
     flat = _flatten_calib(aux[CALIB_COL])
     scales = tuple(sorted(
-        (path[:-len('_in')], round(max(vals), 4))
+        (path[:-len('_in')], _safe_scale(max(vals)))
         for path, vals in flat.items() if path.endswith('_in')))
     assert scales, 'decoder calibration produced no conv records'
     new_cfg = dataclasses.replace(vae.cfg, int8_scales=scales)
@@ -154,9 +154,15 @@ def calibrate_int8_scales(calib_trees, n_layers: int):
                 if f'blocks_{i}/' in p and p.endswith(site):
                     vals.extend(v)
             assert vals, f'no calibration record for layer {i} {site}'
-            layer.append(round(max(vals), 4))
+            layer.append(_safe_scale(max(vals)))
         scales.append(tuple(layer))
     return tuple(scales)
+
+
+def _safe_scale(v: float) -> float:
+    """Positive, rounded activation scale: a near-dead calibration site
+    must not produce a 0.0 scale (quantize divides by it -> inf/NaN)."""
+    return max(round(float(v), 4), 1e-4)
 
 
 def quantize_for_serving(model, text=None, key=None, decoder=True):
@@ -173,6 +179,12 @@ def quantize_for_serving(model, text=None, key=None, decoder=True):
     from mmvid_tpu.models.mmvid import MMVIDBert
 
     cfg = model.cfg
+    assert cfg.clip.pipeline_stages == 1, (
+        'int8 serving not supported with pipeline parallelism '
+        '(pipeline_stages > 1): per-layer static scales cannot vary '
+        'inside the stage scan — rebuild the model with '
+        'pipeline_stages=1 for serving (checkpoints convert '
+        'automatically)')
     key = key if key is not None else jax.random.PRNGKey(0)
     if text is None:
         if cfg.fixed_language_model is None:

@@ -197,6 +197,14 @@ def make_train_step(model: MMVIDBert, tc: TrainConfig):
     [B,T,H,W,3] in [0,1] (or [B, N] tokens), optional 'visual',
     'text_neg', 'visual_neg'}.
     """
+    # int8 is serving-only: round() has zero gradient, so training a
+    # quantized model would silently produce zero grads for every
+    # quantized matmul (the stack-level assert only covers remat configs)
+    clip_cfg = getattr(model.cfg, 'clip', None)
+    assert clip_cfg is None or clip_cfg.int8_scales is None, (
+        'model was quantized for serving (int8_scales set); training '
+        'requires the bf16/fp32 model — build it without '
+        'quantize_for_serving')
     tx = make_optimizer(tc)
 
     def loss_fn(params, batch, key):

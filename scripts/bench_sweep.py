@@ -86,6 +86,13 @@ def main():
                     {**base, 'MMVID_INT8': '1'}),
         'int8_16': ('w8a8 int8 backbone b16', 16,
                     {**base, 'MMVID_INT8': '1'}),
+        'int8_64': ('w8a8 int8 backbone b64', 64,
+                    {**base, 'MMVID_INT8': '1'}),
+        'int8_96': ('w8a8 int8 backbone b96', 96,
+                    {**base, 'MMVID_INT8': '1'}),
+        'int8fastln_48': ('int8 + bf16 LN b48', 48,
+                          {**base, 'MMVID_INT8': '1',
+                           'MMVID_FAST_LN': '1'}),
     }
     for w in which:
         name, batch, env = variants[w]

@@ -30,6 +30,9 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 48
     trace_dir = sys.argv[2] if len(sys.argv) > 2 else '/tmp/mmvid_trace'
     model, _ = _flagship(tiny=False, dtype=jnp.bfloat16)
+    if os.environ.get('MMVID_INT8') == '1':
+        from mmvid_tpu.ops.int8 import quantize_for_serving
+        model = quantize_for_serving(model)
     text = jnp.ones((batch, model.cfg.text_seq_len), jnp.int32)
     key = jax.random.PRNGKey(0)
 
@@ -46,32 +49,55 @@ def main():
     force(sample(jax.random.fold_in(key, 1), True))
     jax.profiler.stop_trace()
 
-    # ---- parse: sum device-op durations from the xplane proto ----
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    # ---- parse: aggregate LEAF device spans from the Chrome trace ----
+    # (the tensorboard xplane parser is protobuf-version-fragile in this
+    # image; the trace.json.gz carries the same device lanes.  Parent
+    # spans double-count their children, so keep leaves only.)
+    import gzip
 
     files = sorted(glob.glob(
-        os.path.join(trace_dir, '**', '*.xplane.pb'), recursive=True))
+        os.path.join(trace_dir, '**', '*.trace.json.gz'), recursive=True))
     if not files:
-        print('no xplane found under', trace_dir)
+        print('no trace.json.gz found under', trace_dir)
         return
-    xspace = files[-1]
-    params = {'graph_viewer_options': {}}
-    try:
-        data, _ = raw_to_tool_data.xspace_to_tool_data(
-            [xspace], 'framework_op_stats', params)
-        print(data[:4000] if isinstance(data, str) else str(data)[:4000])
-    except Exception as e:
-        print('op_stats failed:', e)
-        # fallback: hlo_op_stats naming varies across versions
-        for tool in ('hlo_stats', 'op_profile'):
-            try:
-                data, _ = raw_to_tool_data.xspace_to_tool_data(
-                    [xspace], tool, params)
-                print(tool, ':', (data[:4000] if isinstance(data, str)
-                                  else str(data)[:4000]))
-                break
-            except Exception as e2:
-                print(tool, 'failed:', e2)
+    with gzip.open(files[-1], 'rt') as f:
+        events = json.load(f).get('traceEvents', [])
+
+    device_pids = {e['pid'] for e in events
+                   if e.get('ph') == 'M' and e.get('name') == 'process_name'
+                   and 'TPU' in str(e.get('args', {}).get('name', ''))}
+    spans = [e for e in events
+             if e.get('ph') == 'X' and e.get('pid') in device_pids
+             and e.get('dur', 0) > 0]
+    # leaves: spans with no strictly-contained child on the same thread
+    by_tid = {}
+    for e in spans:
+        by_tid.setdefault((e['pid'], e['tid']), []).append(e)
+    totals = {}
+    counts = {}
+    for lane in by_tid.values():
+        lane.sort(key=lambda e: (e['ts'], -e['dur']))
+        for i, e in enumerate(lane):
+            end = e['ts'] + e['dur']
+            has_child = False
+            for o in lane[i + 1:]:
+                if o['ts'] >= end:
+                    break
+                if o['ts'] >= e['ts'] and o['ts'] + o['dur'] <= end \
+                        and o is not e:
+                    has_child = True
+                    break
+            if not has_child:
+                name = e['name'][:80]
+                totals[name] = totals.get(name, 0) + e['dur']
+                counts[name] = counts.get(name, 0) + 1
+    top = sorted(totals.items(), key=lambda kv: -kv[1])[:25]
+    grand = sum(totals.values())
+    print(json.dumps({'total_device_ms': round(grand / 1e3, 1)}))
+    for name, us in top:
+        print(json.dumps({'op': name, 'ms': round(us / 1e3, 1),
+                          'pct': round(100 * us / grand, 1),
+                          'n': counts[name]}))
 
 
 if __name__ == '__main__':

@@ -99,7 +99,11 @@ def main_worker(args):
     model.params = adapt_stack_layout(
         params, model.cfg.clip.layers,
         model.cfg.clip.pipeline_stages > 1)
-    if getattr(args, 'int8', False) and not args.ar:
+    if getattr(args, 'int8', False):
+        if args.ar:
+            raise SystemExit('--int8 supports the BERT sampler only '
+                             '(the AR decode path is bandwidth-bound, '
+                             'not MXU-bound)')
         from mmvid_tpu.ops.int8 import quantize_for_serving
         model = quantize_for_serving(model)
         print('int8: backbone quantized (w8a8, calibrated static scales)')

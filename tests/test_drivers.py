@@ -253,3 +253,25 @@ def test_test_driver_int8_sampling(data_tree, tmp_path):
     samples = list((tmp_path / 'logs' / 'tiny_int8' / 'samples'
                     ).glob('*.png'))
     assert samples, 'no int8 sample grids written'
+
+
+def test_train_driver_auto_resume(data_tree, tmp_path):
+    """--auto_resume: a restarted job (same command line) picks up its own
+    weights/last, restoring params + opt state + schedule position."""
+    train_mod = _load('train')
+    args = _train_args(data_tree, tmp_path)
+    args.name = 'tiny_resume'
+    train_mod.main_worker(args)              # iters 0..2, final save at 3
+
+    args2 = _train_args(data_tree, tmp_path, extra=['--auto_resume'])
+    args2.name = 'tiny_resume'
+    args2.iters = 5
+    train_mod.main_worker(args2)             # must resume at iter 3
+
+    log = (tmp_path / 'logs' / 'tiny_resume' / 'log.txt').read_text()
+    iters_logged = [int(l.split()[1]) for l in log.splitlines()
+                    if l.startswith('iter ')]
+    assert 3 in iters_logged and 4 in iters_logged
+    # the restart did NOT replay 0..2 after the first run's pass
+    assert iters_logged.count(0) == 1
+    assert (tmp_path / 'logs' / 'tiny_resume' / 'weights' / '5').exists()

@@ -94,6 +94,17 @@ def main_worker(args):
     model = factories.get_dalle(args, vae, cvae,
                                 text_feature_dim=text_feature_dim)
 
+    # --auto_resume: a restarted job (same command line, e.g. after the
+    # SIGTERM preemption checkpoint below) picks up its own weights/last —
+    # refreshed by periodic, preemption, and final saves — restoring
+    # params, optimizer moments, and the schedule position.
+    if getattr(args, 'auto_resume', False) and not args.dalle_path:
+        last = log_dir / 'weights' / 'last'
+        if last.is_dir():
+            args.dalle_path = str(last)
+            if is_root():
+                print(f'auto_resume: restoring from {last}')
+
     start_iter = args.start_iter or 0
     resume_opt_leaves = None
     # checkpoints carry the per-block (reference-compatible) or the stacked
@@ -259,8 +270,9 @@ def main_worker(args):
                     save_checkpoint(str(log_dir), f'preempt_at_{idx}',
                                     ckpt_tree(idx), hparams=hparams,
                                     keep_last=True)
-                    print(f'signal {preempted["sig"]}: checkpoint written at '
-                          f'iter {idx}; resume with --start_iter {idx}')
+                    print(f'signal {preempted["sig"]}: checkpoint written '
+                          f'at iter {idx}; restart with --auto_resume, or '
+                          f'--dalle_path {log_dir}/weights/last')
                 return
             batch = next(batches)
             feed = {'text': np.asarray(batch['text']),
