@@ -80,19 +80,22 @@ def _attention_xla(q, k, v, mask, scale):
     return out.astype(q.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _fused_attention(q, k, v, mask, scale, interpret, bf16_av, hpb_env):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _fused_attention(q, k, v, mask, scale, interpret, bf16_av, hpb_env,
+                     qb_env):
     return _pallas_attention(q, k, v, mask, scale, interpret, bf16_av,
-                             hpb_env)
+                             hpb_env, qb_env)
 
 
-def _fused_attention_fwd(q, k, v, mask, scale, interpret, bf16_av, hpb_env):
+def _fused_attention_fwd(q, k, v, mask, scale, interpret, bf16_av, hpb_env,
+                         qb_env):
     return (_fused_attention(q, k, v, mask, scale, interpret, bf16_av,
-                             hpb_env),
+                             hpb_env, qb_env),
             (q, k, v, mask))
 
 
-def _fused_attention_bwd(scale, interpret, bf16_av, hpb_env, res, g):
+def _fused_attention_bwd(scale, interpret, bf16_av, hpb_env, qb_env,
+                         res, g):
     # Backward = VJP of the XLA reference, recomputing the [B,H,L,L]
     # probabilities (the kernel never materialized them).  This is what
     # makes MMVID_PALLAS_ATTN=1 usable in training, not just sampling.
@@ -127,11 +130,13 @@ def fused_attention_blhd(q, k, v, mask, sm_scale=None, interpret=False):
         mask = jnp.zeros((l, l), jnp.float32)
     bf16_av = os.environ.get('MMVID_ATTN_BF16') == '1'
     hpb_env = int(os.environ.get('MMVID_ATTN_HPB', '0'))
+    qb_env = int(os.environ.get('MMVID_ATTN_QB', '0'))
     return _fused_attention(q, k, v, mask, scale, interpret, bf16_av,
-                            hpb_env)
+                            hpb_env, qb_env)
 
 
-def _pallas_attention(q, k, v, mask, scale, interpret, bf16_av, hpb_env):
+def _pallas_attention(q, k, v, mask, scale, interpret, bf16_av, hpb_env,
+                      qb_env=0):
     b, l, h, d = q.shape
 
     # heads packed to a 128-lane block width (2 heads at d=64);
@@ -143,8 +148,10 @@ def _pallas_attention(q, k, v, mask, scale, interpret, bf16_av, hpb_env):
     if h % hpb != 0:
         hpb = 1
     # sublane-mult padding only (16 covers bf16); Mosaic pads lanes
-    # internally
-    lp = -(-l // 16) * 16
+    # internally.  MMVID_ATTN_QB splits the query rows into blocks of qb
+    # (grid-pipelined); L then pads to a qb multiple.
+    qb = qb_env if qb_env >= 16 and qb_env % 16 == 0 else 0
+    lp = -(-l // (qb or 16)) * (qb or 16)
 
     if mask is None:
         mask = jnp.zeros((l, l), jnp.float32)
@@ -158,15 +165,27 @@ def _pallas_attention(q, k, v, mask, scale, interpret, bf16_av, hpb_env):
     kp = prep(k)
     vp = prep(v)
 
-    spec = pl.BlockSpec((1, lp, hpb * d), lambda bi, hi: (bi, 0, hi),
-                        memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, lp, hpb * d),
+                           (lambda bi, hi, qi: (bi, 0, hi)) if qb
+                           else (lambda bi, hi: (bi, 0, hi)),
+                           memory_space=pltpu.VMEM)
+    if qb:
+        q_spec = pl.BlockSpec((1, qb, hpb * d),
+                              lambda bi, hi, qi: (bi, qi, hi),
+                              memory_space=pltpu.VMEM)
+        mask_spec = pl.BlockSpec((qb, lp), lambda bi, hi, qi: (qi, 0),
+                                 memory_space=pltpu.VMEM)
+        grid = (b, h // hpb, lp // qb)
+    else:
+        q_spec = kv_spec
+        mask_spec = pl.BlockSpec((lp, lp), lambda bi, hi: (0, 0),
+                                 memory_space=pltpu.VMEM)
+        grid = (b, h // hpb)
     out = pl.pallas_call(
         _make_packed_kernel(d, hpb, bf16_av),
-        grid=(b, h // hpb),
-        in_specs=[spec, spec, spec,
-                  pl.BlockSpec((lp, lp), lambda bi, hi: (0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=spec,
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec, mask_spec],
+        out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((b, lp, h * d), q.dtype),
         interpret=interpret,
     )(qp, kp, vp, mask_p)

@@ -16,7 +16,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 def run_variant(name, batch, env, steps=20, iters=3):
     for k in ('MMVID_PALLAS_ATTN', 'MMVID_PALLAS_SAMPLER', 'MMVID_FAST_LN',
-              'MMVID_FUSED_LNQKV', 'MMVID_ATTN_BF16', 'MMVID_ATTN_HPB'):
+              'MMVID_FUSED_LNQKV', 'MMVID_ATTN_BF16', 'MMVID_ATTN_HPB',
+              'MMVID_ATTN_QB', 'MMVID_INT8'):
         os.environ.pop(k, None)
     os.environ.update(env)
 
@@ -93,6 +94,12 @@ def main():
         'int8fastln_48': ('int8 + bf16 LN b48', 48,
                           {**base, 'MMVID_INT8': '1',
                            'MMVID_FAST_LN': '1'}),
+        'int8qb96_64': ('int8 + q-block 96 b64', 64,
+                        {**base, 'MMVID_INT8': '1',
+                         'MMVID_ATTN_QB': '96'}),
+        'int8qb192_64': ('int8 + q-block 192 b64', 64,
+                         {**base, 'MMVID_INT8': '1',
+                          'MMVID_ATTN_QB': '192'}),
     }
     for w in which:
         name, batch, env = variants[w]
