@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from mmvid_tpu.eval.fvd import (
-    extend_video_pingpong,
     frechet_distance,
     preprocess_videos,
 )
@@ -63,8 +62,18 @@ def evaluate(args, model, dl_iter, i3d_variables=None, key=None,
         i3d_variables = i3d.init(jax.random.PRNGKey(0),
                                  jnp.zeros((1, video_length, 224, 224, 3)))
 
+    # TPU-first: the ping-pong extension is a static frame-index gather, so
+    # extension + I3D embedding run in ONE device program and the generated
+    # videos NEVER visit the host (the reference round-trips every batch
+    # through numpy + a TF1 session, utils_eval.py:177-191) — only the
+    # [B, 400] embeddings come back.
+    from mmvid_tpu.eval.fvd import pingpong_indices
+    ext_idx = jnp.asarray(
+        pingpong_indices(args.num_targets, video_length))
+
     @jax.jit
     def embed(v):
+        v = v.astype(jnp.float32)[:, ext_idx]
         return i3d.apply(i3d_variables, preprocess_videos(v))
 
     real_embs, fake_embs = [], []
@@ -72,7 +81,7 @@ def evaluate(args, model, dl_iter, i3d_variables=None, key=None,
     for it in range(steps):
         sample = next(dl_iter)
         text = jnp.asarray(sample['text'])
-        frames = np.asarray(sample['target'])
+        frames = jnp.asarray(sample['target'])
         visual = (jnp.asarray(sample['visual'])
                   if model.cfg.num_visuals > 0 and 'visual' in sample
                   else None)
@@ -84,14 +93,9 @@ def evaluate(args, model, dl_iter, i3d_variables=None, key=None,
                                 else 0),
             dynamic=getattr(args, 'pnag_dynamic', False),
             mp_config=args.mp_config)
-        fake = np.asarray(fake)
 
-        real_ext = np.stack([extend_video_pingpong(v, video_length)
-                             for v in frames])
-        fake_ext = np.stack([extend_video_pingpong(v, video_length)
-                             for v in fake])
-        real_embs.append(np.asarray(embed(jnp.asarray(real_ext))))
-        fake_embs.append(np.asarray(embed(jnp.asarray(fake_ext))))
+        real_embs.append(np.asarray(embed(frames)))
+        fake_embs.append(np.asarray(embed(fake)))
 
     real_embs = np.concatenate(real_embs)
     fake_embs = np.concatenate(fake_embs)

@@ -60,13 +60,13 @@ def preprocess_videos(videos: jax.Array,
     return resized.reshape(b, t, th, tw, c) * 2.0 - 1.0
 
 
-def extend_video_pingpong(video: np.ndarray, target_len: int = 15
-                          ) -> np.ndarray:
-    """Ping-pong a [T,...] clip to target_len frames
-    (utils/utils_eval.py:17-28): forward + reversed-interior repeats."""
-    t = video.shape[0]
+def pingpong_indices(t: int, target_len: int) -> np.ndarray:
+    """Frame indices that ping-pong a T-frame clip to target_len
+    (utils/utils_eval.py:17-28) — static, so the extension can run as an
+    on-device gather (evaluate() embeds generated videos without a host
+    round-trip)."""
     if t >= target_len:
-        return video[:target_len]
+        return np.arange(target_len)
     idx = []
     direction = 1
     i = 0
@@ -77,7 +77,14 @@ def extend_video_pingpong(video: np.ndarray, target_len: int = 15
         elif i == 0 and direction == -1:
             direction = 1
         i += direction
-    return video[np.asarray(idx)]
+    return np.asarray(idx)
+
+
+def extend_video_pingpong(video: np.ndarray, target_len: int = 15
+                          ) -> np.ndarray:
+    """Ping-pong a [T,...] clip to target_len frames
+    (utils/utils_eval.py:17-28): forward + reversed-interior repeats."""
+    return video[pingpong_indices(video.shape[0], target_len)]
 
 
 def frechet_distance(real_activations: np.ndarray,
