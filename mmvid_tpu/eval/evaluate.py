@@ -66,15 +66,27 @@ def evaluate(args, model, dl_iter, i3d_variables=None, key=None,
     # extension + I3D embedding run in ONE device program and the generated
     # videos NEVER visit the host (the reference round-trips every batch
     # through numpy + a TF1 session, utils_eval.py:177-191) — only the
-    # [B, 400] embeddings come back.
-    from mmvid_tpu.eval.fvd import pingpong_indices
-    ext_idx = jnp.asarray(
-        pingpong_indices(args.num_targets, video_length))
+    # [B, 400] embeddings come back.  Indices depend on the SOURCE clip
+    # length (real clips have frame_num frames, generated ones
+    # num_targets — independent flags), so the embed program is built per
+    # length, like the per-clip v.shape[0] of the host-numpy path.
+    from functools import lru_cache
 
-    @jax.jit
+    from mmvid_tpu.eval.fvd import pingpong_indices
+
+    @lru_cache(maxsize=None)
+    def embed_for_len(t: int):
+        ext_idx = jnp.asarray(pingpong_indices(t, video_length))
+
+        @jax.jit
+        def embed(v):
+            v = v.astype(jnp.float32)[:, ext_idx]
+            return i3d.apply(i3d_variables, preprocess_videos(v))
+
+        return embed
+
     def embed(v):
-        v = v.astype(jnp.float32)[:, ext_idx]
-        return i3d.apply(i3d_variables, preprocess_videos(v))
+        return embed_for_len(int(v.shape[1]))(v)
 
     real_embs, fake_embs = [], []
     steps = max(total // batch, 1)

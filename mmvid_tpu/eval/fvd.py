@@ -67,6 +67,8 @@ def pingpong_indices(t: int, target_len: int) -> np.ndarray:
     round-trip)."""
     if t >= target_len:
         return np.arange(target_len)
+    if t == 1:  # ping-pong of a single frame = repeat it
+        return np.zeros(target_len, dtype=np.int64)
     idx = []
     direction = 1
     i = 0

@@ -153,8 +153,6 @@ def _pallas_attention(q, k, v, mask, scale, interpret, bf16_av, hpb_env,
     qb = qb_env if qb_env >= 16 and qb_env % 16 == 0 else 0
     lp = -(-l // (qb or 16)) * (qb or 16)
 
-    if mask is None:
-        mask = jnp.zeros((l, l), jnp.float32)
     mask_p = jnp.full((lp, lp), -1e9, jnp.float32)
     mask_p = mask_p.at[:l, :l].set(mask)
 

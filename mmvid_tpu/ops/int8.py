@@ -98,10 +98,16 @@ def _flatten_calib(tree):
     return flat
 
 
-def quantize_vae_decoder(vae, sample_tokens=None, key=None):
+def quantize_vae_decoder(vae, sample_tokens=None, key=None,
+                         headroom=1.25):
     """Calibrate the VQGAN DECODER's conv inputs on sample token grids and
     return a new VQGanVAE whose decode path runs int8 convs (params
     shared, unchanged; encode path stays bf16/fp32 — it feeds training).
+
+    Pass ``sample_tokens`` produced by the actual sampler where possible
+    (quantize_for_serving does) — coherent token grids can excite larger
+    conv activations than uniform-random ones; ``headroom`` additionally
+    widens the calibrated scales so near-range inputs do not saturate.
     """
     import dataclasses
 
@@ -118,7 +124,7 @@ def quantize_vae_decoder(vae, sample_tokens=None, key=None):
         method=VQModel.decode_code, mutable=[CALIB_COL])
     flat = _flatten_calib(aux[CALIB_COL])
     scales = tuple(sorted(
-        (path[:-len('_in')], _safe_scale(max(vals)))
+        (path[:-len('_in')], _safe_scale(max(vals) * headroom))
         for path, vals in flat.items() if path.endswith('_in')))
     assert scales, 'decoder calibration produced no conv records'
     new_cfg = dataclasses.replace(vae.cfg, int8_scales=scales)
@@ -206,6 +212,18 @@ def quantize_for_serving(model, text=None, key=None, decoder=True):
     scales = calibrate_int8_scales(trees, cfg.clip.layers)
     new_cfg = dataclasses.replace(
         cfg, clip=dataclasses.replace(cfg.clip, int8_scales=scales))
-    vae = quantize_vae_decoder(model.vae, key=key) if decoder else model.vae
+    vae = model.vae
+    if decoder:
+        # calibrate the decoder on SAMPLER-emitted token grids (a short
+        # mask-predict run with the still-bf16 model) — coherent grids
+        # excite larger conv activations than uniform-random tokens
+        _, gen_tokens = model.generate_images(
+            key, text[:2], mask_predict_steps=3, dynamic=False,
+            decode=False)
+        # [B, T*n] -> per-frame grids [B*T, n] (the decoder sees frames)
+        frame_tokens = jnp.asarray(gen_tokens).reshape(
+            -1, model.vae.image_seq_len)[:8]
+        vae = quantize_vae_decoder(model.vae, sample_tokens=frame_tokens,
+                                   key=key)
     return MMVIDBert(new_cfg, vae, cvae=model.cvae,
                      params=model.params, dtype=model.core.dtype)

@@ -1,6 +1,7 @@
-"""Capture a jax.profiler device trace of the decode-free flagship sampler
-and print the top fusions by device time (xplane parsing via
-tensorboard_plugin_profile).  Drives the ROADMAP perf table."""
+"""Capture a jax.profiler device trace of the flagship sampler and print
+the top LEAF device spans by time, parsed from the Chrome trace.json.gz
+(the tensorboard xplane parser is protobuf-fragile in this image).
+Drives the ROADMAP perf table."""
 
 import glob
 import json

@@ -176,3 +176,21 @@ def test_i3d_shapes_and_converter():
     out2 = model.apply({'params': converted['params'],
                         'batch_stats': converted['batch_stats']}, x)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out), atol=1e-6)
+
+
+def test_pingpong_indices_edge_cases():
+    """t=1 must repeat frame 0 (regression: the direction walk ran to
+    negative indices, which jnp gather would consume silently); t >=
+    target truncates."""
+    from mmvid_tpu.eval.fvd import pingpong_indices
+
+    np.testing.assert_array_equal(pingpong_indices(1, 5), [0] * 5)
+    np.testing.assert_array_equal(pingpong_indices(4, 8),
+                                  [0, 1, 2, 3, 2, 1, 0, 1])
+    np.testing.assert_array_equal(pingpong_indices(16, 16), np.arange(16))
+    assert (pingpong_indices(8, 15) >= 0).all()
+    # consistency with the host-side helper
+    v = np.arange(8)[:, None]
+    np.testing.assert_array_equal(
+        extend_video_pingpong(v, 15)[:, 0],
+        v[pingpong_indices(8, 15), 0])

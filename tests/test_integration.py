@@ -99,6 +99,33 @@ def test_evaluate_pipeline_end_to_end(model, tmp_path):
     assert (tmp_path / 'metrics' / 'real_embs.npy').exists()
 
 
+def test_evaluate_mixed_clip_lengths(model, tmp_path):
+    """Real clips longer than num_targets (independent flags frame_num vs
+    num_targets): extension indices must follow each SOURCE's length
+    (regression: a single num_targets-based index set embedded only the
+    first num_targets frames of real clips)."""
+    from mmvid_tpu.eval.evaluate import evaluate
+
+    rng = np.random.RandomState(2)
+
+    def batches():
+        while True:
+            yield {
+                'text': rng.randint(1, 100, (2, 8)).astype(np.int32),
+                # real clips have 5 frames; the model generates 2
+                'target': rng.uniform(0, 1, (2, 5, 16, 16, 3)
+                                      ).astype(np.float32),
+            }
+
+    args = types.SimpleNamespace(
+        log_metric_dir=str(tmp_path / 'metrics2'), seed=0, num_targets=2,
+        eval_num=2, batch_size=2, mask_predict_steps=[2],
+        pnag_dynamic=False, mp_config=DEFAULT_MP_CONFIG,
+        allow_random_i3d=True)
+    results = evaluate(args, model, batches(), metrics=('fvd',))
+    assert np.isfinite(results['fvd'])
+
+
 def test_dp_tp_numerical_equivalence(model):
     """The same batch gives the same loss under dp=8 and dp=4,tp=2."""
     from mmvid_tpu.parallel.mesh import make_mesh
