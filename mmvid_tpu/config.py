@@ -159,6 +159,9 @@ def get_args_train(argv=None):
     # beyond-parity: restarted jobs (same command line, e.g. after a
     # SIGTERM preemption) resume from their own <log>/weights/last
     add('--auto_resume', action='store_true')
+    # beyond-parity: keep only the newest N numeric weights/<iter> dirs
+    # (0 = keep all, the reference behavior); last/preempt/nan never pruned
+    add('--keep_n_checkpoints', default=0, type=int)
     add('--learning_rate', default=1e-4, type=float)
     add('--clip_grad_norm', default=1.0, type=float)
     add('--no_lr_decay', action='store_true')

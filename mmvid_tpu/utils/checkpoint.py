@@ -108,3 +108,20 @@ class AsyncCheckpointWriter:
         if self._inflight is not None:
             f, self._inflight = self._inflight, None
             f.result()
+
+
+def prune_checkpoints(log_dir: str, keep_n: int):
+    """Delete all but the newest ``keep_n`` NUMERIC weights/<iter> dirs
+    (beyond-parity; the reference keeps every periodic save).  'last',
+    'preempt_at_*', and 'nan_at_*' are never pruned.  No-op for
+    keep_n <= 0 (reference behavior: keep everything)."""
+    if keep_n <= 0:
+        return
+    import shutil
+    root = os.path.join(log_dir, 'weights')
+    if not os.path.isdir(root):
+        return
+    iters = sorted((d for d in os.listdir(root)
+                    if re.fullmatch(r'\d+', d)), key=int)
+    for d in iters[:-keep_n]:
+        shutil.rmtree(os.path.join(root, d), ignore_errors=True)

@@ -275,3 +275,22 @@ def test_train_driver_auto_resume(data_tree, tmp_path):
     # the restart did NOT replay 0..2 after the first run's pass
     assert iters_logged.count(0) == 1
     assert (tmp_path / 'logs' / 'tiny_resume' / 'weights' / '5').exists()
+
+
+def test_train_driver_checkpoint_retention(data_tree, tmp_path):
+    """--keep_n_checkpoints prunes old numeric dirs; last is kept."""
+    train_mod = _load('train')
+    args = _train_args(data_tree, tmp_path)
+    args.name = 'tiny_prune'
+    args.iters = 7
+    args.save_every_n_steps = 1
+    args.keep_n_checkpoints = 2
+    train_mod.main_worker(args)
+
+    weights = tmp_path / 'logs' / 'tiny_prune' / 'weights'
+    numeric = sorted(int(d.name) for d in weights.iterdir()
+                     if d.name.isdigit())
+    # final save at 7 plus the 2 newest periodic ones survive at most
+    assert len(numeric) <= 3 and max(numeric) == 7
+    assert 1 not in numeric and 2 not in numeric
+    assert (weights / 'last').exists()

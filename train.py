@@ -328,6 +328,12 @@ def main_worker(args):
                 else:
                     save_checkpoint(str(log_dir), idx, ckpt_tree(idx),
                                     hparams=hparams)
+                if getattr(args, 'keep_n_checkpoints', 0) > 0:
+                    from mmvid_tpu.utils.checkpoint import prune_checkpoints
+                    if ckpt_writer is not None:
+                        ckpt_writer.wait()  # never prune an in-flight write
+                    prune_checkpoints(str(log_dir),
+                                      args.keep_n_checkpoints)
 
             if is_root() and idx and (idx % args.sample_every == 0) \
                     and not args.ar:
