@@ -44,14 +44,20 @@ def save_checkpoint(log_dir: str, step: int, tree: Dict[str, Any],
     return path
 
 
+def _numeric_iters(root: str):
+    """Numeric weights/<iter> dir names — the single definition both
+    resume discovery and retention pruning agree on."""
+    if not os.path.isdir(root):
+        return []
+    return sorted((d for d in os.listdir(root)
+                   if re.fullmatch(r'\d+', d)), key=int)
+
+
 def latest_checkpoint(log_dir: str) -> Optional[str]:
     """Numerically-latest weights/<iter>/ (reference natsort, test.py:51-57)."""
-    root = os.path.join(log_dir, 'weights')
-    if not os.path.isdir(root):
-        return None
-    iters = [d for d in os.listdir(root) if re.fullmatch(r'\d+', d)]
+    iters = _numeric_iters(os.path.join(log_dir, 'weights'))
     if iters:
-        return _ckpt_dir(log_dir, max(iters, key=int))
+        return _ckpt_dir(log_dir, iters[-1])
     if os.path.isdir(_ckpt_dir(log_dir, 'last')):
         return _ckpt_dir(log_dir, 'last')
     return None
@@ -119,9 +125,5 @@ def prune_checkpoints(log_dir: str, keep_n: int):
         return
     import shutil
     root = os.path.join(log_dir, 'weights')
-    if not os.path.isdir(root):
-        return
-    iters = sorted((d for d in os.listdir(root)
-                    if re.fullmatch(r'\d+', d)), key=int)
-    for d in iters[:-keep_n]:
+    for d in _numeric_iters(root)[:-keep_n]:
         shutil.rmtree(os.path.join(root, d), ignore_errors=True)

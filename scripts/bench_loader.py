@@ -47,8 +47,22 @@ def main():
         return r
 
     a = run('pil_fallback', pil_batch)
-    if native.available():
-        b = run('native_batch', lambda: native.load_batch(paths, out))
+    lib = native.get_lib()
+    if lib is not None:
+        import ctypes
+
+        def native_batch():
+            # call the C entry directly: load_batch() silently falls back
+            # to PIL on failure, which would benchmark PIL against itself
+            buf = np.empty((n, out, out, 3), np.float32)
+            arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+            failed = lib.mmvid_load_batch(
+                arr, n, out, out,
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 0)
+            assert failed == 0, f'{failed} images failed native decode'
+            return buf
+
+        b = run('native_batch', native_batch)
         err = float(np.max(np.abs(a - b)))
         print(json.dumps({'what': 'max_pixel_delta', 'value': round(err, 4)}))
     else:

@@ -329,9 +329,10 @@ def main_worker(args):
                     save_checkpoint(str(log_dir), idx, ckpt_tree(idx),
                                     hparams=hparams)
                 if getattr(args, 'keep_n_checkpoints', 0) > 0:
+                    # safe alongside an in-flight async write: that write
+                    # targets the NEWEST numeric dir, which prune
+                    # (keep_n >= 1) never deletes, and 'last' is exempt
                     from mmvid_tpu.utils.checkpoint import prune_checkpoints
-                    if ckpt_writer is not None:
-                        ckpt_writer.wait()  # never prune an in-flight write
                     prune_checkpoints(str(log_dir),
                                       args.keep_n_checkpoints)
 
