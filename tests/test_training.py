@@ -314,3 +314,30 @@ def test_resume_restores_optimizer_state_bitwise(tiny_model, tmp_path):
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b),
             err_msg=f'not bitwise equal at {jax.tree_util.keystr(kp)}')
+
+
+@pytest.mark.quick
+def test_async_checkpoint_writer_surfaces_errors(tmp_path):
+    """A failed background write must raise on the next submit()/wait(),
+    not vanish (train.py relies on this to not silently lose checkpoints)."""
+    from mmvid_tpu.utils.checkpoint import (
+        AsyncCheckpointWriter,
+        load_checkpoint,
+    )
+
+    w = AsyncCheckpointWriter()
+    w.submit(str(tmp_path / 'run'), 1, {'step': 1, 'params': {'x': 1.0}})
+    w.wait()
+    tree, _ = load_checkpoint(str(tmp_path / 'run' / 'weights' / '1'))
+    assert tree['step'] == 1
+
+    # unwritable target -> the exception surfaces on wait()
+    blocked = tmp_path / 'blocked'
+    blocked.write_text('a file, not a dir')
+    w.submit(str(blocked / 'sub'), 2, {'step': 2})
+    with pytest.raises(Exception):
+        w.wait()
+    # the writer stays usable afterwards
+    w.submit(str(tmp_path / 'run'), 3, {'step': 3, 'params': {'x': 2.0}})
+    w.wait()
+    assert (tmp_path / 'run' / 'weights' / '3').exists()
