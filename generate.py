@@ -112,7 +112,11 @@ def main(args=None):
     model = factories.get_dalle(args, vae, cvae)
     model.params = params
     if args.int8:
-        assert not args.ar, '--int8 supports the BERT sampler only'
+        if args.ar:
+            # explicit exit, not assert: `python -O` strips asserts and
+            # would silently run the unsupported combination
+            raise SystemExit('--int8 supports the BERT sampler only '
+                             '(not --ar)')
         from mmvid_tpu.ops.int8 import quantize_for_serving
         model = quantize_for_serving(model)
         print('int8: backbone quantized (w8a8, calibrated static scales)')

@@ -196,9 +196,12 @@ def get_args_test(argv=None):
     add('--eval_mode', type=str, default=None)
     add('--eval_metric', type=str, nargs='+', default=['fvd_prd'])
     add('--eval_num', type=int, default=2048)
-    add('--pc_mode', type=str, default=None)
+    add('--pc_mode', type=str, default=None)  # dead in the reference:
+    # flows generate_images -> mask_predict(**kwargs) and is swallowed
+    # unread (dalle_bert.py:475, 514-526)
     add('--description', type=str, default=None)
-    add('--no_debug', action='store_true')
+    add('--no_debug', action='store_true')  # dead in the reference:
+    # parsed (utils_args.py:474) and never read anywhere
     add('--t_overlap', default=1, type=int)
     add('--t_repeat', default=10, type=int)
     add('--use_cvae', action='store_true')

@@ -90,6 +90,12 @@ def evaluate(args, model, dl_iter, i3d_variables=None, key=None,
 
     real_embs, fake_embs = [], []
     steps = max(total // batch, 1)
+    n_actual = steps * batch
+    if n_actual != total:
+        # no silent caps: eval_num not divisible by batch under-samples
+        # (the reference truncates here too, utils_eval.py:86-96)
+        print(f'evaluate: eval_num={total} not divisible by '
+              f'batch={batch}; using {n_actual} samples')
     for it in range(steps):
         sample = next(dl_iter)
         text = jnp.asarray(sample['text'])
@@ -118,7 +124,10 @@ def evaluate(args, model, dl_iter, i3d_variables=None, key=None,
     if 'fvd' in metrics:
         fvd = frechet_distance(real_embs, fake_embs)
         results['fvd'] = fvd
-        (out_dir / 'fvd_score.txt').write_text(f'{fvd}\n')
+        # record the actual sample count next to the score so a
+        # non-divisible eval_num/batch pair is visible in the artifact
+        (out_dir / 'fvd_score.txt').write_text(
+            f'{fvd}\nn_samples = {len(fake_embs)}\n')
     if 'prd' in metrics:
         # 20 clusters like the reference, clamped for tiny smoke evals
         n_clusters = min(20, len(fake_embs))

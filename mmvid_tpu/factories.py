@@ -248,6 +248,19 @@ def get_dataset(args, tokenizer):
         return TextMP4Dataset(args.image_text_folder, keys=keys,
                               video_only=args.video_only,
                               drop_sentence=args.drop_sentence, **common)
+    if args.dataset == 'imagestack_text':
+        # reference utils_train.py:64-80: TextImageStackDataset in video
+        # mode with return_vc=True (first frame as the visual control —
+        # the repo class always returns it)
+        from mmvid_tpu.data import TextImageStackDataset
+        return TextImageStackDataset(
+            args.image_text_folder, text_len=args.text_seq_len,
+            image_size=args.image_size or 128,
+            truncate_captions=args.truncate_captions,
+            resize_ratio=args.resize_ratio, tokenizer=tokenizer,
+            deterministic=args.deterministic, frame_step=args.frame_step,
+            frame_num=args.frame_num, keys=keys,
+            video_only=args.video_only)
     if args.dataset == 'image_text':
         return TextImageDataset(
             args.image_text_folder, text_len=args.text_seq_len,

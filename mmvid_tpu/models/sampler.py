@@ -112,6 +112,18 @@ def _gumbel(key, shape, eps=1e-20):
     return -jnp.log(-jnp.log(u) + eps)
 
 
+def _sample_argmax(logits):
+    """Deterministic stand-in for :func:`_sample_multinomial` (parity
+    testing): token = argmax(logits), Y = its softmax probability.  The
+    torch oracle is driven to the same rule by patching torch.multinomial
+    to argmax and torch.rand_like to a constant (a constant gumbel offset
+    leaves softmax and argmax unchanged)."""
+    tok = jnp.argmax(logits, axis=-1)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    chosen = jnp.take_along_axis(logits, tok[..., None], axis=-1)[..., 0]
+    return jnp.exp(chosen - lse), tok.astype(jnp.int32)
+
+
 def _sample_multinomial(key, logits, temperature):
     """Gumbel-noised categorical (dalle_bert.py:527-538): returns
     (Y = prob of chosen token under the noised softmax, tokens).
@@ -137,6 +149,11 @@ class MaskPredictSpec:
     beams: int
     dynamic: bool
     patience: int = 5  # dynamic stop horizon (dalle_bert.py:706)
+    # Testing hook: replace every stochastic choice with its deterministic
+    # mode (argmax sampling; keep the highest-confidence tokens instead of
+    # a weighted draw) so trajectories can be compared step-for-step
+    # against the identically-patched torch oracle.
+    deterministic: bool = False
 
 
 def build_spec(mp_config: Dict, N: int, steps: int = 0,
@@ -200,7 +217,8 @@ def mask_predict(core, params, control_emb, key, spec: MaskPredictSpec,
     # rows and the Pallas kernel applies LN + vocab matmul + Gumbel
     # sampling in VMEM, so no [B, N, vocab] logits reach HBM.
     use_kernel = (os.environ.get('MMVID_PALLAS_SAMPLER') == '1'
-                  and cfg.num_image_tokens % 128 == 0)
+                  and cfg.num_image_tokens % 128 == 0
+                  and not spec.deterministic)
 
     def forward(tokens, remask):
         """tokens [B',N] current; remask [B',N] bool True=re-masked to
@@ -222,6 +240,8 @@ def mask_predict(core, params, control_emb, key, spec: MaskPredictSpec,
 
     def sample(k, head_in, temp):
         """(Y, tokens) from the forward's head_in (see `forward`)."""
+        if spec.deterministic:
+            return _sample_argmax(head_in)
         if not use_kernel:
             return _sample_multinomial(k, head_in, temp)
         from mmvid_tpu.ops.sample_head import fused_sample_head
@@ -258,8 +278,11 @@ def mask_predict(core, params, control_emb, key, spec: MaskPredictSpec,
         k1, k2 = jax.random.split(key_t)
         k_keep = N - n_sched[t - 1]             # tokens to KEEP this step
         # J independent Gumbel top-k weighted samples w/o replacement over Y
-        scores = (jnp.log(jnp.maximum(Y, 1e-30))[None]
-                  + _gumbel(k1, (J,) + Y.shape))
+        scores = jnp.log(jnp.maximum(Y, 1e-30))[None]
+        if not spec.deterministic:
+            scores = scores + _gumbel(k1, (J,) + Y.shape)
+        else:
+            scores = jnp.broadcast_to(scores, (J,) + Y.shape)
         scores = jnp.where(pmask[None, None], jnp.inf, scores)
         ranks = jnp.argsort(jnp.argsort(-scores, axis=-1), axis=-1)
         keep_all = (ranks < (k_keep + int(preserve_mask.sum()))) \
@@ -343,10 +366,14 @@ def mask_predict_trace(core, params, control_emb, key,
                                          method=BertCore.forward_full)
         return logits, rel, vid
 
+    def _sample(k, logits, temp):
+        return (_sample_argmax(logits) if spec.deterministic
+                else _sample_multinomial(k, logits, temp))
+
     key, k0 = jax.random.split(key)
     init_tokens = jnp.where(pmask[None], preserve_tokens, cfg.mask_token)
     logits, _, _ = forward(init_tokens, ~pmask[None].repeat(b, 0))
-    Y, I_new = _sample_multinomial(k0, logits, temp_sched[0])
+    Y, I_new = _sample(k0, logits, temp_sched[0])
     I_tok = jnp.where(pmask[None], preserve_tokens, I_new)
     Y = jnp.where(pmask[None], jnp.inf, Y)
 
@@ -354,12 +381,14 @@ def mask_predict_trace(core, params, control_emb, key,
         Y, I_tok, key = carry
         key, k1, k2 = jax.random.split(key, 3)
         k_keep = N - n_sched[t - 1]
-        scores = jnp.log(jnp.maximum(Y, 1e-30)) + _gumbel(k1, Y.shape)
+        scores = jnp.log(jnp.maximum(Y, 1e-30))
+        if not spec.deterministic:
+            scores = scores + _gumbel(k1, Y.shape)
         scores = jnp.where(pmask[None], jnp.inf, scores)
         ranks = jnp.argsort(jnp.argsort(-scores, axis=-1), axis=-1)
         keep = (ranks < (k_keep + int(preserve_mask.sum()))) | pmask[None]
         logits, _, _ = forward(I_tok, ~keep)
-        Y_new, I_new = _sample_multinomial(k2, logits, temp_sched[t])
+        Y_new, I_new = _sample(k2, logits, temp_sched[t])
         Y = jnp.where(keep, Y, Y_new)
         I_tok = jnp.where(keep, I_tok, I_new)
         return (Y, I_tok, key), (I_tok, keep)

@@ -12,8 +12,13 @@ Layout conversion: the sequential ``TransformerStack`` stores per-block
 subtrees ``blocks_0..blocks_{L-1}`` (the layout every torch-checkpoint
 converter produces); the pipelined stack stores ONE pytree ``blocks`` whose
 leaves have a leading layer axis.  ``stack_block_params`` /
-``unstack_block_params`` convert between them, so checkpoints stay in the
-reference-compatible per-block layout on disk.
+``unstack_block_params`` convert between them.  On-disk convention:
+native orbax checkpoints (``weights/<iter>``) store whatever layout the
+run trained in (stacked for pp runs — params AND Adam moments stay
+consistent, and both loaders adapt via ``adapt_stack_layout`` /
+``adapt_opt_state_layout``); only ``dalle.pt`` *exports*
+(``torch_compat.save_dalle_checkpoint``) are always converted to the
+reference's per-block layout.
 """
 
 from __future__ import annotations

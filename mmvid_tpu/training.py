@@ -205,6 +205,16 @@ def make_train_step(model: MMVIDBert, tc: TrainConfig):
         'model was quantized for serving (int8_scales set); training '
         'requires the bf16/fp32 model — build it without '
         'quantize_for_serving')
+    # Same serving-only rule for MMVID_ATTN_BF16: the Pallas forward would
+    # round attention probabilities to bf16 while the custom_vjp backward
+    # recomputes through fp32 XLA, making grads inconsistent with the
+    # forward (~1e-3).  Bench/serving may set it; training may not.
+    import os as _os
+    if _os.environ.get('MMVID_ATTN_BF16') == '1':
+        raise RuntimeError(
+            'MMVID_ATTN_BF16=1 is a serving/bench-only flag: its bf16 '
+            'attention-probability forward is inconsistent with the fp32 '
+            'recompute backward. Unset it for training.')
     tx = make_optimizer(tc)
 
     def loss_fn(params, batch, key):

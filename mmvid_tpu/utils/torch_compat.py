@@ -445,8 +445,9 @@ def save_dalle_checkpoint(path: str, *, params, iter: int = 0,
         # format is per-block
         import jax
         from mmvid_tpu.parallel.pipeline import unstack_block_params
-        n_layers = next(iter(jax.tree_util.tree_leaves(
-            t['blocks']))).shape[0]
+        # NB: the keyword parameter `iter` shadows the builtin here, so
+        # index the leaves list instead of calling iter().
+        n_layers = jax.tree_util.tree_leaves(t['blocks'])[0].shape[0]
         params = {**params,
                   'transformer': unstack_block_params(t, n_layers)}
     sd = bert_params_to_torch(params, vae_params, cvae_params)

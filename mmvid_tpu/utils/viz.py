@@ -107,7 +107,7 @@ def visualize_train(model, batch: Dict, key, out_dir: str, iteration: int,
                     mask_predict_steps=0,
                     mask_predict_steps1: int = 0, vc_mode=None,
                     rand_visual: bool = False, counterfactual: bool = False,
-                    debug: bool = False,
+                    debug: bool = False, test_mode: Optional[str] = None,
                     webpage: Optional[HTML] = None, mp_config=None):
     """Real / recon / generated (/counterfactual-control) grids
     (reference visualize_train/visualize_test, utils_train.py:391-1217).
@@ -122,6 +122,12 @@ def visualize_train(model, batch: Dict, key, out_dir: str, iteration: int,
     face_mode drives the matching token corruption.  debug=True
     additionally writes per-step PNAG grids to <out_dir>/<iter>_pnag/
     (reference --debug, utils_train.py:578-590).
+
+    test_mode='shapes' (the shapes evaluation recipe, reference
+    utils_train.py:1160-1196, gated at :1030): for each of the 3 visual
+    control slots, swap ONLY that slot with the loader-provided negative
+    (batch['visual_neg']) and render a per-slot counterfactual row
+    sampled at mask_predict_steps1.
     """
     os.makedirs(out_dir, exist_ok=True)
     text = jnp.asarray(batch['text'])
@@ -196,6 +202,24 @@ def visualize_train(model, batch: Dict, key, out_dir: str, iteration: int,
             mask_predict_steps=mask_predict_steps1, dynamic=True,
             mp_config=mp_config)
         rows.append((np.asarray(videos), None))
+
+    if (test_mode == 'shapes' and visual is not None
+            and batch.get('visual_neg') is not None):
+        # reference utils_train.py:1160-1196: swap each of the 3 control
+        # slots with its loader-provided negative, one row per slot
+        visual_neg = jnp.asarray(batch['visual_neg'])[:visual.shape[0]]
+        for kk in range(min(3, visual.shape[1])):
+            cf_visual = visual.at[:, kk].set(visual_neg[:, kk])
+            cf_prompt, cf_face = render_visual_prompt(
+                np.asarray(cf_visual), vc_mode=vc_mode,
+                rand_visual=rand_visual)
+            key, k = jax.random.split(key)
+            videos, _ = model.generate_images(
+                k, text, visual=cf_visual, vc_mode=vc_mode,
+                face_mode=cf_face, erase_visual=rand_visual,
+                mask_predict_steps=mask_predict_steps1, dynamic=True,
+                mp_config=mp_config)
+            rows.append((np.asarray(videos), cf_prompt))
 
     def _row(i, frames, vis):
         if vis is None:

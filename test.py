@@ -194,6 +194,7 @@ def main_worker(args):
                     rand_visual=args.rand_visual,
                     counterfactual=(args.num_visuals > 0),
                     debug=getattr(args, 'debug', False),
+                    test_mode=getattr(args, 'test_mode', None),
                     webpage=webpage, mp_config=args.mp_config)
     print(f'wrote samples to {log_dir / "samples"}')
 

@@ -56,19 +56,17 @@ def test_ar_mode_overrides():
 
 
 def test_no_silently_ignored_flags():
-    """Every accepted flag must either be read somewhere in the runtime
-    sources or be on the documented compat/dead allowlist (each entry
-    annotated in config.py with why it is inert, matching the reference's
-    own behavior).  Guards against flags that parse and then silently do
-    nothing (round-1 VERDICT item 6)."""
+    """Every accepted flag — on BOTH the train and the test parser — must
+    either be read somewhere in the runtime sources or be on the documented
+    compat/dead allowlist (each entry annotated in config.py with why it is
+    inert, matching the reference's own behavior).  Guards against flags
+    that parse and then silently do nothing (round-1 VERDICT item 6; the
+    test parser was added for round-3 VERDICT item 5 — `test_mode` had
+    slipped through it)."""
     import os
     import re
 
     from mmvid_tpu.config import process_args
-
-    args = process_args(train=True, argv=[
-        '--name', 't', '--image_text_folder', '/tmp',
-        '--dataset', 'video_text'])
 
     # flags that are intentionally inert, with the reason documented at the
     # add() site in config.py
@@ -79,6 +77,9 @@ def test_no_silently_ignored_flags():
         'rank', 'world_size', 'gpu_ids', 'dist_url', 'dist_backend',
         'workers',           # DDP plumbing replaced by SPMD; workers is
                              # shadowed by num_workers in the reference too
+        'pc_mode',           # dead in the reference (swallowed by
+                             # mask_predict's **kwargs, dalle_bert.py:475)
+        'no_debug',          # dead in the reference (parsed, never read)
     }
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -91,8 +92,16 @@ def test_no_silently_ignored_flags():
                 with open(os.path.join(root, f)) as fh:
                     src += fh.read()
 
+    parsed = {}
+    parsed.update(vars(process_args(train=True, argv=[
+        '--name', 't', '--image_text_folder', '/tmp',
+        '--dataset', 'video_text'])))
+    parsed.update(vars(process_args(train=False, argv=[
+        '--name', 't', '--image_text_folder', '/tmp',
+        '--dataset', 'video_text'])))
+
     missing = []
-    for dest in sorted(vars(args)):
+    for dest in sorted(parsed):
         if dest in allow:
             continue
         if (re.search(rf'\b(args|tc|a)\.{re.escape(dest)}\b', src)

@@ -56,6 +56,59 @@ def vox_tree(tmp_path_factory):
     return root
 
 
+@pytest.fixture(scope='module')
+def imagestack_tree(tmp_path_factory):
+    """Clips stored as one horizontally tiled PNG each (loader.py:60-72)."""
+    root = tmp_path_factory.mktemp('data') / 'stack'
+    (root / 'video').mkdir(parents=True)
+    (root / 'txt').mkdir()
+    for i in range(3):
+        frames = [np.full((32, 32, 3), 30 * i + 10 * j, np.uint8)
+                  for j in range(6)]
+        strip = np.concatenate(frames, axis=1)  # [32, 6*32, 3]
+        Image.fromarray(strip).save(root / 'video' / f'clip{i}.png')
+        (root / 'txt' / f'clip{i}.txt').write_text(
+            f'A tiled clip number {i}.\n')
+    return root
+
+
+def test_imagestack_dataset(imagestack_tree, tok):
+    """TextImageStackDataset splits the strip into frames and returns the
+    first frame as the visual control (reference loader.py:852-1110,
+    return_vc=True semantics)."""
+    from mmvid_tpu.data import TextImageStackDataset
+    ds = TextImageStackDataset(str(imagestack_tree), text_len=20,
+                               image_size=16, tokenizer=tok,
+                               frame_num=4, frame_step=1,
+                               deterministic=True)
+    assert len(ds) == 3
+    item = ds[1]
+    assert item['target'].shape == (4, 16, 16, 3)
+    assert item['visual'].shape == (1, 16, 16, 3)
+    # deterministic start=0: visual IS the first target frame
+    np.testing.assert_allclose(item['visual'][0], item['target'][0])
+    # frames come from the tiled strip in order: brightness increases
+    means = item['target'].mean(axis=(1, 2, 3))
+    assert np.all(np.diff(means) > 0)
+    assert item['text'].shape == (20,)
+
+
+def test_imagestack_text_routing(imagestack_tree, tok):
+    """`--dataset imagestack_text` routes through factories.get_dataset
+    (reference utils/utils_train.py:64-80)."""
+    from mmvid_tpu import factories
+    from mmvid_tpu.config import process_args
+    args = process_args(train=True, argv=[
+        '--dataset', 'imagestack_text',
+        '--image_text_folder', str(imagestack_tree),
+        '--image_size', '16', '--text_seq_len', '20',
+        '--frame_num', '4', '--frame_step', '1', '--deterministic'])
+    ds = factories.get_dataset(args, tok)
+    from mmvid_tpu.data import TextImageStackDataset
+    assert isinstance(ds, TextImageStackDataset)
+    assert ds[0]['target'].shape == (4, 16, 16, 3)
+
+
 def test_text_video_dataset(vox_tree, tok):
     ds = TextVideoDataset(str(vox_tree), text_len=20, image_size=32,
                           truncate_captions=True, tokenizer=tok,

@@ -33,11 +33,11 @@ def model():
 def test_negvc_rel_loss(model):
     """Explicit loader-provided negatives drive the REL head.
 
-    NB deviation from the reference: its negvc branch drops the visual
-    segment from the negative control (dalle_bert.py:909-935,974-975),
-    which shifts the [ST1]/[VID] positions the shared mask_prev attention
-    mask assumes; here the negative control keeps the full layout
-    (negative text + fully-masked visual) so positions stay aligned."""
+    The negative control now matches the reference layout exactly
+    (dalle_bert.py:909-935,974-975): `[REL]+text_neg+[ST1][VID]` with the
+    visual segment DROPPED from the negative sequence — see
+    models/bert.py:385-416 (drop_visual) and the oracle parity test
+    tests/test_clip_bert.py::test_bert_losses_parity_negvc."""
     rng = np.random.RandomState(0)
     text = jnp.asarray(rng.randint(1, 100, (2, 8)), jnp.int32)
     text_neg = jnp.asarray(rng.randint(1, 100, (2, 8)), jnp.int32)
@@ -97,6 +97,36 @@ def test_evaluate_pipeline_end_to_end(model, tmp_path):
     assert 0 <= f8 <= 1 and 0 <= f18 <= 1
     assert (tmp_path / 'metrics' / 'fvd_score.txt').exists()
     assert (tmp_path / 'metrics' / 'real_embs.npy').exists()
+    # the score artifact records the actual sample count (VERDICT r2 #9)
+    txt = (tmp_path / 'metrics' / 'fvd_score.txt').read_text()
+    assert 'n_samples = 4' in txt
+
+
+def test_evaluate_truncation_logged(model, tmp_path, capsys):
+    """eval_num not divisible by batch under-samples — that must be
+    visible in stdout AND the fvd_score.txt artifact (no silent caps)."""
+    from mmvid_tpu.eval.evaluate import evaluate
+
+    rng = np.random.RandomState(7)
+
+    def batches():
+        while True:
+            yield {
+                'text': rng.randint(1, 100, (2, 8)).astype(np.int32),
+                'target': rng.uniform(0, 1, (2, 2, 16, 16, 3)
+                                      ).astype(np.float32),
+            }
+
+    args = types.SimpleNamespace(
+        log_metric_dir=str(tmp_path / 'metrics3'), seed=0, num_targets=2,
+        eval_num=5, batch_size=2, mask_predict_steps=[2],
+        pnag_dynamic=False, mp_config=DEFAULT_MP_CONFIG,
+        allow_random_i3d=True)
+    evaluate(args, model, batches(), metrics=('fvd',))
+    out = capsys.readouterr().out
+    assert 'eval_num=5' in out and 'using 4 samples' in out
+    txt = (tmp_path / 'metrics3' / 'fvd_score.txt').read_text()
+    assert 'n_samples = 4' in txt
 
 
 def test_evaluate_mixed_clip_lengths(model, tmp_path):

@@ -60,6 +60,28 @@ def test_vqgan_params_roundtrip():
     _tree_equal(params, back)
 
 
+def test_dalle_pt_file_roundtrip_stacked_blocks(tmp_path):
+    """A pp-trained param tree (stacked 'blocks' layout) must export to the
+    reference's per-block dalle.pt format and load back equal to its
+    per-block form (regression: the `iter` kwarg used to shadow the builtin
+    on exactly this branch)."""
+    from mmvid_tpu.parallel.pipeline import stack_block_params
+
+    core = BertCore(CFG)
+    params = core.init(jax.random.PRNGKey(3),
+                       jnp.zeros((1, 8), jnp.int32),
+                       jnp.zeros((1, CFG.visual_seq_len), jnp.int32),
+                       jnp.zeros((1, CFG.target_seq_len), jnp.int32)
+                       )['params']
+    stacked = {**params, 'transformer': stack_block_params(
+        params['transformer'], CFG.clip.layers)}
+    path = str(tmp_path / 'dalle_pp.pt')
+    save_dalle_checkpoint(path, params=stacked, iter=7)
+    ckpt = load_dalle_checkpoint(path)
+    assert ckpt['iter'] == 7
+    _tree_equal(params, ckpt['params'])
+
+
 def test_dalle_pt_file_roundtrip(tmp_path):
     core = BertCore(CFG)
     params = core.init(jax.random.PRNGKey(2),

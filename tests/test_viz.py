@@ -96,6 +96,63 @@ def test_visualize_train_with_visual_and_debug(tiny_visual_model, tmp_path):
     assert img.width == (1 + 2) * 16
 
 
+def test_visualize_train_shapes_counterfactual(tmp_path):
+    """test_mode='shapes' renders one per-slot counterfactual row per
+    visual-control slot, each swapping ONLY that slot with the loader
+    negative (reference utils_train.py:1160-1196, gated at :1030)."""
+    vq_cfg = VQGanConfig(resolution=16, ch=32, ch_mult=(1, 2),
+                         num_res_blocks=1, z_channels=64, embed_dim=64,
+                         n_embed=1024, attn_resolutions=())
+    vae = VQGanVAE(image_size=16, cfg=vq_cfg)
+    cfg = BertConfig(dim=64, num_text_tokens=100, text_seq_len=8,
+                     num_visuals=3, num_targets=2, num_image_tokens=1024,
+                     image_fmap_size=8, image_size=16,
+                     clip=ClipStackConfig(width=64, layers=2, heads=2))
+    model = MMVIDBert(cfg, vae)
+    rng = np.random.RandomState(3)
+    b = 2
+    batch = {
+        'text': rng.randint(1, 100, (b, 8)).astype(np.int32),
+        'target': rng.uniform(0, 1, (b, 2, 16, 16, 3)).astype(np.float32),
+        'visual': rng.uniform(0, 1, (b, 3, 16, 16, 3)).astype(np.float32),
+        'visual_neg': rng.uniform(0, 1, (b, 3, 16, 16, 3)).astype(
+            np.float32),
+        'description': ['a', 'b'],
+    }
+    out = str(tmp_path / 'samples')
+    visualize_train(model, batch, jax.random.PRNGKey(1), out, 1,
+                    n_per_sample=1, mask_predict_steps=2,
+                    mask_predict_steps1=2, counterfactual=False,
+                    test_mode='shapes')
+    from PIL import Image
+    img = Image.open(os.path.join(out, '0000001_0.png'))
+    # rows: real + recon + 1 generated + 3 per-slot counterfactuals = 6
+    # (each row is 16 px + 2 px tile_grid padding)
+    assert img.height == 6 * 18
+    # each row leads with the 3 control frames then 2 target frames
+    assert img.width == (3 + 2) * 16
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    # counterfactual row kk shows slot kk swapped to the negative and the
+    # other slots unchanged (prompt columns of rows 3..5)
+    for kk in range(3):
+        row = arr[(3 + kk) * 18:(3 + kk) * 18 + 16]
+        for slot in range(3):
+            want = (batch['visual_neg'][0, slot] if slot == kk
+                    else batch['visual'][0, slot])
+            got = row[:, slot * 16:(slot + 1) * 16]
+            np.testing.assert_allclose(got, want, atol=2 / 255)
+
+    # without visual_neg in the batch, test_mode='shapes' adds no rows
+    out2 = str(tmp_path / 'samples2')
+    batch2 = {k: v for k, v in batch.items() if k != 'visual_neg'}
+    visualize_train(model, batch2, jax.random.PRNGKey(1), out2, 1,
+                    n_per_sample=1, mask_predict_steps=2,
+                    mask_predict_steps1=2, counterfactual=False,
+                    test_mode='shapes')
+    img2 = Image.open(os.path.join(out2, '0000001_0.png'))
+    assert img2.height == 3 * 18
+
+
 def test_interp_real_window_arithmetic():
     """interp_real slides T/2-frame windows with stride T/4, keeps T/2
     output frames per window (last keeps T-1): with a stub sampler that
