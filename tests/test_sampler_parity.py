@@ -180,11 +180,22 @@ def test_deterministic_dynamic_stop_parity(pair, monkeypatch):
     np.testing.assert_array_equal(np.asarray(final), final_ref)
 
 
-def test_deterministic_trajectory_parity_preserve(pair, monkeypatch):
+def test_deterministic_trajectory_parity_preserve(monkeypatch):
     """Deterministic parity through the preserve path (long-mode chunking,
-    t_overlap token freezing — dalle_bert.py:543-566)."""
+    t_overlap=1 token freezing — dalle_bert.py:543-566).  Needs a 2-frame
+    model so one frame preserves and one re-samples."""
     import torch
-    ref, params, cfg = pair
+    ref = load_reference_bert(dim=DIM, heads=HEADS, layers=LAYERS,
+                              text_seq_len=TEXT_LEN, num_text_tokens=N_TEXT,
+                              num_visuals=0, num_targets=2, image_size=8,
+                              vae_layers=2, num_tokens=VOCAB, seed=29)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_bert(sd)['params']
+    cfg = BertConfig(dim=DIM, num_text_tokens=N_TEXT, text_seq_len=TEXT_LEN,
+                     num_visuals=0, num_targets=2, num_image_tokens=VOCAB,
+                     image_fmap_size=2, image_size=8,
+                     clip=ClipStackConfig(width=DIM, layers=LAYERS,
+                                          heads=HEADS))
     ctrl_ref, ctrl, core = _control_pair(ref, params, cfg, seed=41)
     _patch_deterministic(monkeypatch)
 
@@ -196,15 +207,18 @@ def test_deterministic_trajectory_parity_preserve(pair, monkeypatch):
     with torch.no_grad():
         final_ref, _ = ref.mask_predict(ctrl_ref, dynamic=False,
                                         steps=MP['T'], mp_config=dict(MP),
-                                        preserve=prev_ref, t_overlap=0,
+                                        preserve=prev_ref, t_overlap=1,
                                         long_mode='long')
     final_ref = final_ref.numpy()
+    # the preserved slots carry the previous chunk's LAST frame
+    np.testing.assert_array_equal(final_ref[:, :cfg.image_seq_len],
+                                  prev[:, -cfg.image_seq_len:])
 
     from mmvid_tpu.models.sampler import arrange_preserve_tokens
-    pmask, N = preserve_layout(cfg, 'long', 0, True)
+    pmask, N = preserve_layout(cfg, 'long', 1, True)
     spec = dataclasses.replace(
         build_spec(MP, N, steps=MP['T'], dynamic=False), deterministic=True)
-    ptoks = arrange_preserve_tokens(cfg, jnp.asarray(prev), 'long', 0)
+    ptoks = arrange_preserve_tokens(cfg, jnp.asarray(prev), 'long', 1)
     final = mask_predict(core, params, ctrl, jax.random.PRNGKey(0), spec,
                          np.asarray(pmask), ptoks)
     np.testing.assert_array_equal(np.asarray(final), final_ref)
