@@ -80,10 +80,19 @@ def main():
     videos = sample(key)
     force(videos)
 
+    # Steady-state pipelined throughput (what generate.py's one-batch
+    # pipelining achieves): dispatch every batch back-to-back and force
+    # only the last — the host<->device round trip per batch (a tunnel
+    # RPC here) overlaps with device compute instead of serializing it.
+    # MMVID_BENCH_SYNC=1 restores the old force-per-batch timing.
+    sync = os.environ.get('MMVID_BENCH_SYNC') == '1'
     n_iters = 3
     t0 = time.perf_counter()
     for i in range(n_iters):
         videos = sample(jax.random.fold_in(key, i))
+        if sync:
+            force(videos)
+    if not sync:
         force(videos)
     dt = (time.perf_counter() - t0) / n_iters
 

@@ -284,10 +284,10 @@ class ArtvModel:
                          target_tokens)
 
     def generate_images(self, key, text, *, visual=None, filter_thres=0.5,
-                        temperature=1.0, decode=True, **unused):
+                        temperature=1.0, decode=True, int8=False, **unused):
         statics = (visual is not None,
                    visual.ndim if visual is not None else 0,
-                   filter_thres, temperature, decode)
+                   filter_thres, temperature, decode, int8)
         if statics not in self._gen_cache:
             def impl(params, vae_params, text, visual, key):
                 if visual is not None and visual.ndim >= 4:
@@ -300,7 +300,7 @@ class ArtvModel:
                         jnp.int32)
                 seq = ar_sample(self.core, params, text, vtok, key,
                                 filter_thres=filter_thres,
-                                temperature=temperature)
+                                temperature=temperature, int8=int8)
                 if not decode:
                     return None, seq
                 b = seq.shape[0]
@@ -347,7 +347,8 @@ def _ln(p, x):
 
 
 def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
-              filter_thres: float = 0.5, temperature: float = 1.0):
+              filter_thres: float = 0.5, temperature: float = 1.0,
+              int8: bool = False):
     """KV-cached sampling of all target tokens.
 
     1. Encode the control prefix (<bos>+text+visual) once through the stack,
@@ -363,6 +364,15 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
     scan — the reference computes all ~51k vocab logits per step and
     discards everything but the 1024 image columns (dalle_artv.py:263-276),
     ~80 MB of dead weight traffic per token at flagship size.
+
+    int8=True (serving opt-in, beyond-parity): halves the streamed bytes
+    again — block weights are quantized to int8 with per-output-channel
+    scales (computed in-trace before the scan; params untouched) and the
+    stacked K/V caches are stored int8 with per-(layer, head) scales
+    calibrated from the prefill range (x1.5 headroom; later tokens
+    saturate-clip).  Activations quantize dynamically per step — a [B, D]
+    abs-max is VPU noise at decode shapes, unlike the serving backbone
+    where in-loop reduces cost the MXU gain (ops/int8.py docstring).
     """
     cfg = core.cfg
     clip_cfg = cfg.clip
@@ -395,6 +405,32 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
     def dot(x, sub):
         return jnp.dot(x.astype(dt), sub['kernel'],
                        preferred_element_type=jnp.float32) + sub['bias']
+
+    # ---- int8 decode machinery (serving opt-in) ----
+    def quant_weight(sub):
+        """kernel -> (int8 weights, per-output-channel scales); computed
+        in-trace BEFORE the scan, so the fp32 kernel streams once."""
+        kern = sub['kernel'].astype(jnp.float32)
+        w_s = jnp.maximum(jnp.max(jnp.abs(kern), axis=0), 1e-8) / 127.0
+        w_q = jnp.round(kern / w_s[None, :]).astype(jnp.int8)
+        return {'w_q': w_q, 'w_s': w_s, 'bias': sub['bias']}
+
+    def quant_block(p):
+        return {'ln_1': p['ln_1'], 'ln_2': p['ln_2'],
+                'attn': {k: quant_weight(v) for k, v in p['attn'].items()},
+                'mlp': {k: quant_weight(v) for k, v in p['mlp'].items()}}
+
+    def dot8(x, sub):
+        """int8 matmul with a dynamic per-step activation scale: at [B, D]
+        decode shapes the abs-max is VPU noise, and the int8 weight read
+        halves the streamed bytes (the decode wall)."""
+        a_s = jnp.maximum(jnp.max(jnp.abs(x)), 1e-6) / 127.0
+        x_q = jnp.round(x.astype(jnp.float32) / a_s).astype(jnp.int8)
+        acc = jnp.dot(x_q, sub['w_q'], preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (a_s * sub['w_s']) + sub['bias']
+
+    blocks8 = [quant_block(_block_params(params, i))
+               for i in range(n_layers)] if int8 else None
 
     def block_step(p, i, x, cache_k, cache_v, pos):
         """One-token pass through block i, updating the STACKED caches
@@ -456,14 +492,79 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
         h = dot(h, p['mlp']['proj'])
         return x + h, k, v
 
-    cache_k = jnp.zeros((n_layers, b, L, heads, hd), dt)
-    cache_v = jnp.zeros((n_layers, b, L, heads, hd), dt)
     x = ctrl_emb
+    pre_k, pre_v = [], []
     for i in range(n_layers):
         x, k, v = prefill_block(blocks[i], x)
-        cache_k = cache_k.at[i, :, :ctrl_len].set(k.astype(dt))
-        cache_v = cache_v.at[i, :, :ctrl_len].set(v.astype(dt))
+        pre_k.append(k)
+        pre_v.append(v)
     prefix_last = x[:, -1]  # hidden of the last control position
+
+    if int8:
+        # per-(layer, head) cache scales from the prefill range; 1.5x
+        # headroom for later tokens (beyond-range values saturate-clip)
+        def _cache_scales(pre):
+            return jnp.stack([
+                jnp.maximum(jnp.max(jnp.abs(t.astype(jnp.float32)),
+                                    axis=(0, 1, 3)), 1e-6)
+                for t in pre]) * 1.5 / 127.0          # [n_layers, heads]
+
+        k_scales = _cache_scales(pre_k)
+        v_scales = _cache_scales(pre_v)
+
+        def _q8(vals, s):
+            """[b, l, heads, hd] -> int8 with per-head scales s [heads]."""
+            return jnp.round(jnp.clip(
+                vals.astype(jnp.float32) / s[None, None, :, None],
+                -127.0, 127.0)).astype(jnp.int8)
+
+        cache_k = jnp.zeros((n_layers, b, L, heads, hd), jnp.int8)
+        cache_v = jnp.zeros((n_layers, b, L, heads, hd), jnp.int8)
+        for i in range(n_layers):
+            cache_k = cache_k.at[i, :, :ctrl_len].set(
+                _q8(pre_k[i], k_scales[i]))
+            cache_v = cache_v.at[i, :, :ctrl_len].set(
+                _q8(pre_v[i], v_scales[i]))
+    else:
+        cache_k = jnp.zeros((n_layers, b, L, heads, hd), dt)
+        cache_v = jnp.zeros((n_layers, b, L, heads, hd), dt)
+        for i in range(n_layers):
+            cache_k = cache_k.at[i, :, :ctrl_len].set(pre_k[i].astype(dt))
+            cache_v = cache_v.at[i, :, :ctrl_len].set(pre_v[i].astype(dt))
+
+    def block_step8(p, i, x, cache_k, cache_v, pos):
+        """int8 variant of block_step: int8 weight matmuls + int8 K/V
+        cache traffic (the two big streams of the decode step)."""
+        k_s, v_s = k_scales[i], v_scales[i]          # [heads]
+        h = _ln(p['ln_1'], x)
+        q = dot8(h, p['attn']['query']).reshape(b, heads, hd)
+        k = dot8(h, p['attn']['key']).reshape(b, 1, heads, hd)
+        v = dot8(h, p['attn']['value']).reshape(b, 1, heads, hd)
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, _q8(k, k_s)[None], (i, 0, pos, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, _q8(v, v_s)[None], (i, 0, pos, 0, 0))
+        q_s = jnp.maximum(jnp.max(jnp.abs(q), axis=-1), 1e-6) / 127.0
+        q_q = jnp.round(q / q_s[..., None]).astype(jnp.int8)
+        acc = jnp.einsum('bhd,blhd->bhl', q_q, cache_k[i],
+                         preferred_element_type=jnp.int32)
+        logits = (acc.astype(jnp.float32)
+                  * (q_s[:, :, None] * k_s[None, :, None]) * (hd ** -0.5))
+        valid = jnp.arange(L)[None, None, :] <= pos
+        logits = jnp.where(valid, logits, -1e9)
+        attn = jax.nn.softmax(logits, axis=-1)
+        p_q = jnp.round(attn * 127.0).astype(jnp.int8)  # probs in [0,1]
+        acc2 = jnp.einsum('bhl,blhd->bhd', p_q, cache_v[i],
+                          preferred_element_type=jnp.int32)
+        o = (acc2.astype(jnp.float32) * (v_s[None, :, None] / 127.0)
+             ).reshape(b, -1)
+        o = dot8(o, p['attn']['out'])
+        x = x + o
+        h = _ln(p['ln_2'], x)
+        h = dot8(h, p['mlp']['fc'])
+        h = h * jax.nn.sigmoid(1.702 * h)
+        h = dot8(h, p['mlp']['proj'])
+        return x + h, cache_k, cache_v
 
     ln_p = params['to_logits_ln']
     # image-range slice of the output head, cast once: only these columns
@@ -471,9 +572,15 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
     fc_k = params['to_logits_fc']['kernel'][
         :, cfg.num_control_tokens:].astype(dt)
     fc_b = params['to_logits_fc']['bias'][cfg.num_control_tokens:]
+    head8 = quant_weight(
+        {'kernel': params['to_logits_fc']['kernel'][
+            :, cfg.num_control_tokens:],
+         'bias': fc_b}) if int8 else None
 
     def image_logits(hidden):
         h = _ln(ln_p, hidden)
+        if int8:
+            return dot8(h, head8)
         return (jnp.dot(h.astype(dt), fc_k,
                         preferred_element_type=jnp.float32) + fc_b)
 
@@ -498,8 +605,12 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
                ).astype(jnp.float32)
         x = emb
         for i in range(n_layers):
-            x, cache_k, cache_v = block_step(blocks[i], i, x,
-                                             cache_k, cache_v, pos)
+            if int8:
+                x, cache_k, cache_v = block_step8(blocks8[i], i, x,
+                                                  cache_k, cache_v, pos)
+            else:
+                x, cache_k, cache_v = block_step(blocks[i], i, x,
+                                                 cache_k, cache_v, pos)
         key, ks = jax.random.split(key)
         nxt = sample_tok(ks, image_logits(x))
         return (cache_k, cache_v, nxt, key), tok

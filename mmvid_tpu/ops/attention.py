@@ -23,10 +23,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_packed_kernel(d: int, hpb: int, bf16_av: bool):
+def _make_packed_kernel(d: int, hpb: int, bf16_av: bool,
+                        int8_qk: bool = False):
     """Kernel over a [L, hpb*d] block: hpb heads packed side by side so the
     block's lane width is a 128 multiple while the array keeps the
-    residual-stream [B, L, H*D] layout."""
+    residual-stream [B, L, H*D] layout.
+
+    int8_qk (MMVID_ATTN_INT8=1, serving-only): both matmuls run on the
+    int8 MXU path (2x bf16 rate on v5e).  Quantization is per-program
+    dynamic — the abs-max reduces stay in VMEM, so unlike the XLA-level
+    serving path (ops/int8.py) no HBM round trip is added; probabilities
+    quantize with the fixed scale 127 (they live in [0, 1])."""
 
     def kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
         for i in range(hpb):
@@ -37,14 +44,34 @@ def _make_packed_kernel(d: int, hpb: int, bf16_av: bool):
             # the old upcast-then-dot at the native-bf16 MXU rate.
             q = q_ref[0, :, sl]                        # [L, D]
             k = k_ref[0, :, sl]
-            logits = jax.lax.dot_general(
-                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)    # [L, L]
+            if int8_qk:
+                qf = q.astype(jnp.float32)
+                kf = k.astype(jnp.float32)
+                qs = jnp.maximum(jnp.max(jnp.abs(qf)), 1e-8) / 127.0
+                ks = jnp.maximum(jnp.max(jnp.abs(kf)), 1e-8) / 127.0
+                q8 = jnp.round(qf / qs).astype(jnp.int8)
+                k8 = jnp.round(kf / ks).astype(jnp.int8)
+                logits = jax.lax.dot_general(
+                    q8, k8, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32
+                ).astype(jnp.float32) * (qs * ks)
+            else:
+                logits = jax.lax.dot_general(
+                    q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # [L, L]
             logits = logits + mask_ref[:]
             m = jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits - m)
             denom = jnp.sum(p, axis=-1, keepdims=True)
-            if bf16_av:
+            if int8_qk:
+                vf = v_ref[0, :, sl].astype(jnp.float32)
+                vs = jnp.maximum(jnp.max(jnp.abs(vf)), 1e-8) / 127.0
+                v8 = jnp.round(vf / vs).astype(jnp.int8)
+                p8 = jnp.round(p * 127.0).astype(jnp.int8)
+                out = (jnp.dot(p8, v8, preferred_element_type=jnp.int32
+                               ).astype(jnp.float32)
+                       * (vs / 127.0)) / denom
+            elif bf16_av:
                 # MMVID_ATTN_BF16=1: probabilities rounded to bf16 for a
                 # native-rate AV matmul (~1e-3 relative output change;
                 # bench-only, parity tests run without it)
@@ -80,22 +107,23 @@ def _attention_xla(q, k, v, mask, scale):
     return out.astype(q.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def _fused_attention(q, k, v, mask, scale, interpret, bf16_av, hpb_env,
-                     qb_env):
+                     qb_env, int8_env=False):
     return _pallas_attention(q, k, v, mask, scale, interpret, bf16_av,
-                             hpb_env, qb_env)
+                             hpb_env, qb_env, int8_env)
 
 
 def _fused_attention_fwd(q, k, v, mask, scale, interpret, bf16_av, hpb_env,
-                         qb_env):
+                         qb_env, int8_env=False):
     return (_fused_attention(q, k, v, mask, scale, interpret, bf16_av,
-                             hpb_env, qb_env),
+                             hpb_env, qb_env, int8_env),
             (q, k, v, mask))
 
 
 def _fused_attention_bwd(scale, interpret, bf16_av, hpb_env, qb_env,
-                         res, g):
+                         int8_env, res, g):
     # Backward = VJP of the XLA reference, recomputing the [B,H,L,L]
     # probabilities (the kernel never materialized them).  This is what
     # makes MMVID_PALLAS_ATTN=1 usable in training, not just sampling.
@@ -131,12 +159,13 @@ def fused_attention_blhd(q, k, v, mask, sm_scale=None, interpret=False):
     bf16_av = os.environ.get('MMVID_ATTN_BF16') == '1'
     hpb_env = int(os.environ.get('MMVID_ATTN_HPB', '0'))
     qb_env = int(os.environ.get('MMVID_ATTN_QB', '0'))
+    int8_env = os.environ.get('MMVID_ATTN_INT8') == '1'
     return _fused_attention(q, k, v, mask, scale, interpret, bf16_av,
-                            hpb_env, qb_env)
+                            hpb_env, qb_env, int8_env)
 
 
 def _pallas_attention(q, k, v, mask, scale, interpret, bf16_av, hpb_env,
-                      qb_env=0):
+                      qb_env=0, int8_env=False):
     b, l, h, d = q.shape
 
     # heads packed to a 128-lane block width (2 heads at d=64);
@@ -180,7 +209,7 @@ def _pallas_attention(q, k, v, mask, scale, interpret, bf16_av, hpb_env,
                                  memory_space=pltpu.VMEM)
         grid = (b, h // hpb)
     out = pl.pallas_call(
-        _make_packed_kernel(d, hpb, bf16_av),
+        _make_packed_kernel(d, hpb, bf16_av, int8_env),
         grid=grid,
         in_specs=[q_spec, kv_spec, kv_spec, mask_spec],
         out_specs=q_spec,

@@ -32,7 +32,10 @@ def main():
     from mmvid_tpu.models.clip import ClipStackConfig
     from mmvid_tpu.models.vqgan import VQGanVAE
 
-    batches = [int(b) for b in sys.argv[1:]] or [16, 48]
+    argv = sys.argv[1:]
+    int8 = '--int8' in argv
+    argv = [a for a in argv if a != '--int8']
+    batches = [int(b) for b in argv] or [16, 48]
     dtype = jnp.bfloat16
     vae = VQGanVAE(image_size=128, dtype=dtype)
     cfg = ArtvConfig(dim=768, num_text_tokens=49408, text_seq_len=50,
@@ -50,7 +53,8 @@ def main():
         key = jax.random.PRNGKey(0)
 
         def sample(k):
-            videos, seq = model.generate_images(k, text, visual=visual)
+            videos, seq = model.generate_images(k, text, visual=visual,
+                                                int8=int8)
             return videos
 
         force(sample(key))  # compile
@@ -60,7 +64,7 @@ def main():
             force(sample(jax.random.fold_in(key, i)))
         dt = (time.perf_counter() - t0) / iters
         print(json.dumps({
-            'what': 'artv_sample', 'batch': b,
+            'what': 'artv_sample', 'batch': b, 'int8': int8,
             'ms': round(dt * 1000, 1),
             'frames_s': round(b * cfg.num_targets / dt, 1),
             'tokens_s': round(b * cfg.target_seq_len / dt, 1)}),

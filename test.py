@@ -101,12 +101,21 @@ def main_worker(args):
         model.cfg.clip.pipeline_stages > 1)
     if getattr(args, 'int8', False):
         if args.ar:
-            raise SystemExit('--int8 supports the BERT sampler only '
-                             '(the AR decode path is bandwidth-bound, '
-                             'not MXU-bound)')
-        from mmvid_tpu.ops.int8 import quantize_for_serving
-        model = quantize_for_serving(model)
-        print('int8: backbone quantized (w8a8, calibrated static scales)')
+            # ART-V int8 serving lives inside ar_sample (int8 weights +
+            # int8 KV caches); route it through generate_images(int8=True)
+            _orig_gen = model.generate_images
+
+            def _gen_int8(*a, **kw):
+                kw.setdefault('int8', True)
+                return _orig_gen(*a, **kw)
+
+            model.generate_images = _gen_int8
+            print('int8: ART-V decode (int8 weights + int8 KV caches)')
+        else:
+            from mmvid_tpu.ops.int8 import quantize_for_serving
+            model = quantize_for_serving(model)
+            print('int8: backbone quantized (w8a8, calibrated static '
+                  'scales)')
 
     dataset = factories.get_dataset(args, tokenizer)
     print(f'{len(dataset)} samples found')

@@ -121,6 +121,39 @@ def test_ar_sample_kv_cache_matches_full_forward():
     np.testing.assert_array_equal(toks_cached[0], np.asarray(out))
 
 
+def test_ar_sample_int8_decode_proxy():
+    """int8=True decode (int8 weights + int8 KV caches, beyond-parity
+    serving path): greedy trajectories must stay close to the bf16 path on
+    a shared tiny model.  Sequential sampling compounds any argmax flip, so
+    the proxy is token agreement on the full greedy rollout plus exactness
+    of shapes/ranges — the real-HW throughput claim lives in ROADMAP.md."""
+    core = ArtvCore(CFG)
+    rng = np.random.RandomState(7)
+    text = jnp.asarray(rng.randint(1, 50, (2, 6)), jnp.int32)
+    visual = jnp.asarray(rng.randint(0, 1024, (2, CFG.visual_seq_len)),
+                         jnp.int32)
+    params = core.init(jax.random.PRNGKey(0), text, visual,
+                       jnp.zeros((2, CFG.target_seq_len), jnp.int32)
+                       )['params']
+    t_bf = np.asarray(ar_sample(core, params, text, visual,
+                                jax.random.PRNGKey(1), temperature=1e-6))
+    t_i8 = np.asarray(ar_sample(core, params, text, visual,
+                                jax.random.PRNGKey(1), temperature=1e-6,
+                                int8=True))
+    assert t_i8.shape == t_bf.shape == (2, CFG.target_seq_len)
+    assert 0 <= t_i8.min() and t_i8.max() < CFG.num_image_tokens
+    # measured 0.855 on this seed/model; random-weight logits are
+    # near-uniform so flips at ties are expected — real-weight margins
+    # are sharper
+    agree = (t_bf == t_i8).mean()
+    assert agree > 0.6, f'int8 greedy agreement collapsed: {agree}'
+    # int8 must be deterministic given the key
+    t_i8b = np.asarray(ar_sample(core, params, text, visual,
+                                 jax.random.PRNGKey(1), temperature=1e-6,
+                                 int8=True))
+    np.testing.assert_array_equal(t_i8, t_i8b)
+
+
 def test_artv_generate_token_range():
     core = ArtvCore(CFG)
     text = jnp.ones((2, 6), jnp.int32)

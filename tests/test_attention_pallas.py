@@ -8,7 +8,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from mmvid_tpu.ops.attention import fused_attention
+from mmvid_tpu.ops.attention import fused_attention, fused_attention_blhd
 from mmvid_tpu.models.clip import build_attention_mask
 
 
@@ -108,3 +108,53 @@ def test_fused_attention_gradients_match_reference():
     for a, b_ in zip(g_remat, gf):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_fused_attention_int8_close_to_reference(monkeypatch):
+    """MMVID_ATTN_INT8=1 (serving-only): in-kernel int8 QK^T/AV quantization
+    stays within ~2% of the fp32 reference (cosine > 0.999)."""
+    import os
+    from mmvid_tpu.ops.attention import _attention_xla
+
+    b, l, h, d = 2, 29, 2, 64
+    key = jax.random.PRNGKey(11)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, l, h, d))
+    k = jax.random.normal(kk, (b, l, h, d))
+    v = jax.random.normal(kv, (b, l, h, d))
+    mask = build_attention_mask(l, 'mask_prev', index=[5])
+    ref = _attention_xla(q, k, v, jnp.asarray(mask, jnp.float32), d ** -0.5)
+
+    monkeypatch.setenv('MMVID_ATTN_INT8', '1')
+    out = fused_attention_blhd(q, k, v, mask, interpret=True)
+    cos = float(jnp.sum(out * ref)
+                / (jnp.linalg.norm(out) * jnp.linalg.norm(ref)))
+    assert cos > 0.999, cos
+    assert float(jnp.max(jnp.abs(out - ref))) < 0.05
+
+
+def test_train_step_rejects_quantized_attention_flags(monkeypatch):
+    """Serving-only attention quantization flags must be rejected by the
+    train-step builder (fwd/bwd inconsistency — ADVICE r2)."""
+    import pytest as _pytest
+
+    from mmvid_tpu.models.bert import BertConfig
+    from mmvid_tpu.models.clip import ClipStackConfig
+    from mmvid_tpu.models.mmvid import MMVIDBert
+    from mmvid_tpu.models.vqgan import VQGanConfig, VQGanVAE
+    from mmvid_tpu.training import TrainConfig, make_train_step
+
+    vq = VQGanConfig(resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                     z_channels=64, embed_dim=64, n_embed=1024,
+                     attn_resolutions=())
+    model = MMVIDBert(
+        BertConfig(dim=64, num_text_tokens=100, text_seq_len=8,
+                   num_visuals=0, num_targets=2, num_image_tokens=1024,
+                   image_fmap_size=8, image_size=16,
+                   clip=ClipStackConfig(width=64, layers=2, heads=2)),
+        VQGanVAE(image_size=16, cfg=vq))
+    for flag in ('MMVID_ATTN_BF16', 'MMVID_ATTN_INT8'):
+        monkeypatch.setenv(flag, '1')
+        with _pytest.raises(RuntimeError, match='serving/bench-only'):
+            make_train_step(model, TrainConfig())
+        monkeypatch.delenv(flag)

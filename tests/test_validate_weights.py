@@ -1,0 +1,116 @@
+"""CI dry-run of the one-command real-weight gate
+(scripts/validate_weights.py): synthetic dalle.pt with embedded VQGAN
+weights, random I3D, tiny eval — the whole chain must run and print the
+verdict; each stage must fail loudly with its own message."""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+pytestmark = pytest.mark.slow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_script():
+    spec = importlib.util.spec_from_file_location(
+        'validate_weights', os.path.join(REPO, 'scripts',
+                                         'validate_weights.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope='module')
+def synthetic_ckpt(tmp_path_factory):
+    """Tiny dalle.pt (custom:64:2:2 backbone, 32px, embedded VQGAN) + a
+    matching 4-clip dataset tree."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmvid_tpu.models.bert import BertConfig, BertCore
+    from mmvid_tpu.models.clip import ClipStackConfig
+    from mmvid_tpu.models.vqgan import VQGanVAE
+    from mmvid_tpu.utils.torch_compat import save_dalle_checkpoint
+
+    root = tmp_path_factory.mktemp('validate')
+
+    hparams = {'dim': 64, 'text_seq_len': 12, 'num_targets': 2,
+               'num_visuals': 0, 'which_transformer': 'custom:64:2:2',
+               'image_size': 32, 'insert_sep': False,
+               'use_separate_visual_emb': False,
+               'fixed_language_model': None, 'text_emb_bottleneck': None,
+               'loss_img_weight': 7, 'ar': False}
+    # default VQGanConfig at 32px -> num_layers 4 -> 2x2 fmap
+    vae = VQGanVAE(image_size=32)
+    cfg = BertConfig(dim=64, num_text_tokens=49408, text_seq_len=12,
+                     num_visuals=0, num_targets=2, num_image_tokens=1024,
+                     image_fmap_size=2, image_size=32,
+                     clip=ClipStackConfig(width=64, layers=2, heads=2))
+    core = BertCore(cfg)
+    params = core.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 12), jnp.int32), None,
+                       jnp.zeros((1, cfg.target_seq_len), jnp.int32)
+                       )['params']
+    ckpt_path = root / 'dalle.pt'
+    save_dalle_checkpoint(str(ckpt_path), params=params, iter=5,
+                          hparams=hparams, vae_params=vae.params)
+
+    data = root / 'mmvox'
+    rng = np.random.RandomState(1)
+    for i in range(4):
+        key = f'id{i:05d}#c{i}#000'
+        d = data / 'video' / key
+        d.mkdir(parents=True)
+        for j in range(8):
+            Image.fromarray(rng.randint(0, 255, (32, 32, 3), np.uint8)
+                            ).save(d / f'{j:03d}.png')
+        (data / 'txt').mkdir(exist_ok=True)
+        (data / 'txt' / f'{key}.txt').write_text(f'person {i} talking\n')
+    return str(ckpt_path), str(data)
+
+
+def test_validate_weights_dry_run(synthetic_ckpt, tmp_path, capsys):
+    ckpt, data = synthetic_ckpt
+    mod = _load_script()
+    rc = mod.main(['--dalle', ckpt, '--data', data,
+                   '--dataset', 'video_text',
+                   '--eval_num', '2', '--batch_size', '2',
+                   '--mask_predict_steps', '2',
+                   '--frame_num', '2', '--frame_step', '2',
+                   '--allow_random_i3d', '--no_gate',
+                   '--out_dir', str(tmp_path / 'out')])
+    assert rc == 0
+    out = capsys.readouterr().out
+    for stage in ('load model checkpoint', 'build VQGAN',
+                  'build model + graft weights', 'scan dataset',
+                  'FVD ='):
+        assert stage in out, f'missing stage marker {stage!r}:\n{out}'
+    assert 'DONE (no gate applied)' in out
+
+
+def test_validate_weights_stage_failure(tmp_path, capsys):
+    """A missing checkpoint fails at its stage with a named message."""
+    mod = _load_script()
+    with pytest.raises(SystemExit) as exc:
+        mod.main(['--dalle', str(tmp_path / 'missing.pt'),
+                  '--data', str(tmp_path), '--allow_random_i3d'])
+    assert exc.value.code == 2
+    err = capsys.readouterr().err
+    assert 'FAILED at stage "load model checkpoint"' in err
+
+
+def test_validate_weights_requires_i3d(synthetic_ckpt, capsys):
+    """Without --i3d and without the CI opt-in, the gate refuses (FVD with
+    random I3D must never masquerade as the real number)."""
+    ckpt, data = synthetic_ckpt
+    mod = _load_script()
+    with pytest.raises(SystemExit) as exc:
+        mod.main(['--dalle', ckpt, '--data', data,
+                  '--dataset', 'video_text'])
+    assert exc.value.code == 2
+    assert 'load I3D' in capsys.readouterr().err
