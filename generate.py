@@ -117,7 +117,9 @@ def main(args=None):
             # ART-V's int8 path lives inside ar_sample (int8 weights +
             # int8 KV caches) — no calibration pass needed
             ar_int8 = True
-            print('int8: ART-V decode (int8 weights + int8 KV caches)')
+            print('int8: ART-V decode (int8 weights + int8 KV caches). '
+                  'NB measured SLOWER than bf16 on v5e (ROADMAP.md): the '
+                  'decode step is op-overhead-bound, not bandwidth-bound.')
         else:
             from mmvid_tpu.ops.int8 import quantize_for_serving
             model = quantize_for_serving(model)

@@ -402,6 +402,22 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
 
     blocks = [cast_block(_block_params(params, i)) for i in range(n_layers)]
 
+    def fuse_qkv(sub):
+        """q/k/v projections concatenated into ONE [D, 3D] matmul for the
+        decode step — 3 latency-bound [B,D]x[D,D] reads become one bigger
+        streamed read (column-wise concat, bitwise-identical results)."""
+        return {'kernel': jnp.concatenate(
+                    [sub['query']['kernel'], sub['key']['kernel'],
+                     sub['value']['kernel']], axis=1),
+                'bias': jnp.concatenate(
+                    [sub['query']['bias'], sub['key']['bias'],
+                     sub['value']['bias']])}
+
+    dec_blocks = [{'ln_1': p['ln_1'], 'ln_2': p['ln_2'],
+                   'attn': {'qkv': fuse_qkv(p['attn']),
+                            'out': p['attn']['out']},
+                   'mlp': p['mlp']} for p in blocks]
+
     def dot(x, sub):
         return jnp.dot(x.astype(dt), sub['kernel'],
                        preferred_element_type=jnp.float32) + sub['bias']
@@ -416,8 +432,19 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
         return {'w_q': w_q, 'w_s': w_s, 'bias': sub['bias']}
 
     def quant_block(p):
+        # fused q/k/v (see fuse_qkv) — per-output-channel scales make the
+        # concatenated quantization bitwise-equal to three separate ones
+        raw_qkv = {'kernel': jnp.concatenate(
+                       [p['attn']['query']['kernel'],
+                        p['attn']['key']['kernel'],
+                        p['attn']['value']['kernel']], axis=1),
+                   'bias': jnp.concatenate(
+                       [p['attn']['query']['bias'],
+                        p['attn']['key']['bias'],
+                        p['attn']['value']['bias']])}
         return {'ln_1': p['ln_1'], 'ln_2': p['ln_2'],
-                'attn': {k: quant_weight(v) for k, v in p['attn'].items()},
+                'attn': {'qkv': quant_weight(raw_qkv),
+                         'out': quant_weight(p['attn']['out'])},
                 'mlp': {k: quant_weight(v) for k, v in p['mlp'].items()}}
 
     def dot8(x, sub):
@@ -431,17 +458,26 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
 
     blocks8 = [quant_block(_block_params(params, i))
                for i in range(n_layers)] if int8 else None
+    # experiment switch (HW sweeps, ROADMAP): quantize the weights but
+    # keep the K/V caches bf16 — isolates which stream the int8 win or
+    # loss comes from
+    import os as _os
+    int8_caches = int8 and _os.environ.get(
+        'MMVID_ARTV_INT8_WEIGHTS_ONLY') != '1'
+
+    dim = heads * hd
 
     def block_step(p, i, x, cache_k, cache_v, pos):
         """One-token pass through block i, updating the STACKED caches
-        [n_layers, B, L, heads, hd] in place (dynamic_update_slice on the
+        [n_layers, B, W, heads, hd] in place (dynamic_update_slice on the
         scan carry aliases — no full-cache copy; a per-layer stack/rebuild
         was measured to double the per-token time at flagship size).
+        W is the current (windowed) cache width — see the segment loop.
         x [B, D] fp32; pos scalar."""
+        W = cache_k.shape[2]
         h = _ln(p['ln_1'], x)
-        q = dot(h, p['attn']['query'])
-        k = dot(h, p['attn']['key'])
-        v = dot(h, p['attn']['value'])
+        qkv = dot(h, p['attn']['qkv'])
+        q, k, v = qkv[:, :dim], qkv[:, dim:2 * dim], qkv[:, 2 * dim:]
         q = q.reshape(b, heads, hd)
         cache_k = jax.lax.dynamic_update_slice(
             cache_k, k.reshape(1, b, 1, heads, hd).astype(dt),
@@ -452,7 +488,7 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
         logits = jnp.einsum('bhd,blhd->bhl', q.astype(dt), cache_k[i],
                             preferred_element_type=jnp.float32)
         logits = logits * (hd ** -0.5)
-        valid = jnp.arange(L)[None, None, :] <= pos
+        valid = jnp.arange(W)[None, None, :] <= pos
         logits = jnp.where(valid, logits, -1e9)
         attn = jax.nn.softmax(logits, axis=-1)
         o = jnp.einsum('bhl,blhd->bhd', attn.astype(dt), cache_v[i],
@@ -500,7 +536,22 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
         pre_v.append(v)
     prefix_last = x[:, -1]  # hidden of the last control position
 
-    if int8:
+    # ---- windowed K/V caches ----
+    # The decode wall is cache streaming: every step reads the full
+    # [B, L, heads, hd] K and V per layer even though only positions
+    # <= pos are valid.  Splitting generation into per-frame segments
+    # (seg_len = tokens/frame) and growing the cache arrays between
+    # segments cuts the read to the live window — mean width
+    # (ctrl+seg .. L) ~= 0.6 L at flagship shapes.  MMVID_ARTV_WINDOW=0
+    # restores a single full-width scan (A/B knob, read at trace time).
+    n_gen = cfg.target_seq_len
+    n_steps = n_gen - 1
+    seg_len = (cfg.image_fmap_size ** 2
+               if _os.environ.get('MMVID_ARTV_WINDOW', '1') == '1'
+               else n_steps)
+    W0 = min(ctrl_len + seg_len, L)
+
+    if int8_caches:
         # per-(layer, head) cache scales from the prefill range; 1.5x
         # headroom for later tokens (beyond-range values saturate-clip)
         def _cache_scales(pre):
@@ -518,46 +569,63 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
                 vals.astype(jnp.float32) / s[None, None, :, None],
                 -127.0, 127.0)).astype(jnp.int8)
 
-        cache_k = jnp.zeros((n_layers, b, L, heads, hd), jnp.int8)
-        cache_v = jnp.zeros((n_layers, b, L, heads, hd), jnp.int8)
+        cache_k = jnp.zeros((n_layers, b, W0, heads, hd), jnp.int8)
+        cache_v = jnp.zeros((n_layers, b, W0, heads, hd), jnp.int8)
         for i in range(n_layers):
             cache_k = cache_k.at[i, :, :ctrl_len].set(
                 _q8(pre_k[i], k_scales[i]))
             cache_v = cache_v.at[i, :, :ctrl_len].set(
                 _q8(pre_v[i], v_scales[i]))
     else:
-        cache_k = jnp.zeros((n_layers, b, L, heads, hd), dt)
-        cache_v = jnp.zeros((n_layers, b, L, heads, hd), dt)
+        cache_k = jnp.zeros((n_layers, b, W0, heads, hd), dt)
+        cache_v = jnp.zeros((n_layers, b, W0, heads, hd), dt)
         for i in range(n_layers):
             cache_k = cache_k.at[i, :, :ctrl_len].set(pre_k[i].astype(dt))
             cache_v = cache_v.at[i, :, :ctrl_len].set(pre_v[i].astype(dt))
 
     def block_step8(p, i, x, cache_k, cache_v, pos):
-        """int8 variant of block_step: int8 weight matmuls + int8 K/V
-        cache traffic (the two big streams of the decode step)."""
-        k_s, v_s = k_scales[i], v_scales[i]          # [heads]
+        """int8 variant of block_step: int8 weight matmuls, plus int8 K/V
+        cache traffic unless MMVID_ARTV_INT8_WEIGHTS_ONLY=1."""
+        W = cache_k.shape[2]
         h = _ln(p['ln_1'], x)
-        q = dot8(h, p['attn']['query']).reshape(b, heads, hd)
-        k = dot8(h, p['attn']['key']).reshape(b, 1, heads, hd)
-        v = dot8(h, p['attn']['value']).reshape(b, 1, heads, hd)
-        cache_k = jax.lax.dynamic_update_slice(
-            cache_k, _q8(k, k_s)[None], (i, 0, pos, 0, 0))
-        cache_v = jax.lax.dynamic_update_slice(
-            cache_v, _q8(v, v_s)[None], (i, 0, pos, 0, 0))
-        q_s = jnp.maximum(jnp.max(jnp.abs(q), axis=-1), 1e-6) / 127.0
-        q_q = jnp.round(q / q_s[..., None]).astype(jnp.int8)
-        acc = jnp.einsum('bhd,blhd->bhl', q_q, cache_k[i],
-                         preferred_element_type=jnp.int32)
-        logits = (acc.astype(jnp.float32)
-                  * (q_s[:, :, None] * k_s[None, :, None]) * (hd ** -0.5))
-        valid = jnp.arange(L)[None, None, :] <= pos
+        qkv = dot8(h, p['attn']['qkv'])
+        q = qkv[:, :dim].reshape(b, heads, hd)
+        k = qkv[:, dim:2 * dim].reshape(b, 1, heads, hd)
+        v = qkv[:, 2 * dim:].reshape(b, 1, heads, hd)
+        if int8_caches:
+            k_s, v_s = k_scales[i], v_scales[i]      # [heads]
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, _q8(k, k_s)[None], (i, 0, pos, 0, 0))
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, _q8(v, v_s)[None], (i, 0, pos, 0, 0))
+            q_s = jnp.maximum(jnp.max(jnp.abs(q), axis=-1), 1e-6) / 127.0
+            q_q = jnp.round(q / q_s[..., None]).astype(jnp.int8)
+            acc = jnp.einsum('bhd,blhd->bhl', q_q, cache_k[i],
+                             preferred_element_type=jnp.int32)
+            logits = (acc.astype(jnp.float32)
+                      * (q_s[:, :, None] * k_s[None, :, None])
+                      * (hd ** -0.5))
+        else:
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k.astype(dt)[None], (i, 0, pos, 0, 0))
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v.astype(dt)[None], (i, 0, pos, 0, 0))
+            logits = jnp.einsum('bhd,blhd->bhl', q.astype(dt), cache_k[i],
+                                preferred_element_type=jnp.float32
+                                ) * (hd ** -0.5)
+        valid = jnp.arange(W)[None, None, :] <= pos
         logits = jnp.where(valid, logits, -1e9)
         attn = jax.nn.softmax(logits, axis=-1)
-        p_q = jnp.round(attn * 127.0).astype(jnp.int8)  # probs in [0,1]
-        acc2 = jnp.einsum('bhl,blhd->bhd', p_q, cache_v[i],
-                          preferred_element_type=jnp.int32)
-        o = (acc2.astype(jnp.float32) * (v_s[None, :, None] / 127.0)
-             ).reshape(b, -1)
+        if int8_caches:
+            p_q = jnp.round(attn * 127.0).astype(jnp.int8)  # probs in [0,1]
+            acc2 = jnp.einsum('bhl,blhd->bhd', p_q, cache_v[i],
+                              preferred_element_type=jnp.int32)
+            o = (acc2.astype(jnp.float32) * (v_s[None, :, None] / 127.0)
+                 ).reshape(b, -1)
+        else:
+            o = jnp.einsum('bhl,blhd->bhd', attn.astype(dt), cache_v[i],
+                           preferred_element_type=jnp.float32
+                           ).reshape(b, -1)
         o = dot8(o, p['attn']['out'])
         x = x + o
         h = _ln(p['ln_2'], x)
@@ -609,7 +677,7 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
                 x, cache_k, cache_v = block_step8(blocks8[i], i, x,
                                                   cache_k, cache_v, pos)
             else:
-                x, cache_k, cache_v = block_step(blocks[i], i, x,
+                x, cache_k, cache_v = block_step(dec_blocks[i], i, x,
                                                  cache_k, cache_v, pos)
         key, ks = jax.random.split(key)
         nxt = sample_tok(ks, image_logits(x))
@@ -617,12 +685,28 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
 
     # Feed token i at step i (cache position ctrl_len+i) and sample token
     # i+1; the final token is never fed back (the reference's last forward
-    # sees total_seq_len positions, dalle_artv.py:258-281), so scan runs
-    # n_gen-1 steps and the last sample completes the sequence.
-    n_gen = cfg.target_seq_len
-    (_, _, last_tok, _), fed = jax.lax.scan(
-        step, (cache_k, cache_v, tok0, key),
-        (jnp.arange(n_gen - 1),))
+    # sees total_seq_len positions, dalle_artv.py:258-281), so the loop
+    # runs n_gen-1 steps and the last sample completes the sequence.
+    # One lax.scan per window segment; the caches grow between segments
+    # (the pad is a once-per-segment copy, amortized over seg_len steps).
+    # RNG split order is identical across segmentations, and masked-out
+    # positions contribute exact zeros to both einsums, so the windowed
+    # and full-width paths produce the same tokens.
+    fed_parts = []
+    carry = (cache_k, cache_v, tok0, key)
+    for s in range(-(-n_steps // seg_len)):
+        start, stop = s * seg_len, min((s + 1) * seg_len, n_steps)
+        W = min(ctrl_len + stop, L)
+        grow = W - carry[0].shape[2]
+        if grow > 0:
+            pad = [(0, 0), (0, 0), (0, grow), (0, 0), (0, 0)]
+            carry = (jnp.pad(carry[0], pad), jnp.pad(carry[1], pad),
+                     carry[2], carry[3])
+        carry, fed = jax.lax.scan(step, carry, (jnp.arange(start, stop),))
+        fed_parts.append(fed)
+    last_tok = carry[2]
+    fed = (jnp.concatenate(fed_parts, axis=0) if fed_parts
+           else jnp.zeros((0, b), tok0.dtype))
     out = jnp.concatenate(
         [jnp.moveaxis(fed, 0, 1), last_tok[:, None]], axis=1)  # [B, n_gen]
     return out.astype(jnp.int32)

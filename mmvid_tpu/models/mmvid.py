@@ -31,7 +31,12 @@ from mmvid_tpu.models.sampler import (
     preserve_layout,
 )
 from mmvid_tpu.models.vqgan import VQGanVAE
-from mmvid_tpu.models.warp import warp, warp_video_with_color
+from mmvid_tpu.models.warp import (
+    apply_warp_token_plan,
+    warp,
+    warp_token_plan,
+    warp_video_with_color,
+)
 
 
 class MMVIDBert:
@@ -168,8 +173,22 @@ class MMVIDBert:
 
         target_tokens_warp = None
         if vid and cfg.num_targets > 1 and target_frames is not None:
-            warped = warp(k_warp, target_frames, vid_strategy_prob)
-            target_tokens_warp = self.get_image_tokens(warped)
+            import os as _os
+            if _os.environ.get('MMVID_TOKEN_WARP', '1') == '1':
+                # Token-level warp (bitwise ≡ get_image_tokens(warp(...)),
+                # tests/test_warp.py): strategies 0/1 permute the already-
+                # encoded target tokens; 2/3 modify ONE frame — so the VID
+                # branch re-encodes B frames per step instead of B*T
+                # (ROADMAP round 3 for the measured effect; flag read at
+                # trace time, A/B via MMVID_TOKEN_WARP=0).
+                mod_frame, plan = warp_token_plan(k_warp, target_frames,
+                                                  vid_strategy_prob)
+                mod_tokens = self.get_image_tokens(mod_frame[:, None])
+                target_tokens_warp = apply_warp_token_plan(
+                    target_tokens, mod_tokens, plan)
+            else:
+                warped = warp(k_warp, target_frames, vid_strategy_prob)
+                target_tokens_warp = self.get_image_tokens(warped)
 
         control_neg = None
         if negvc and text_neg is not None:

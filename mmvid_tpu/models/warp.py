@@ -111,3 +111,67 @@ def warp(key, video, vid_strategy_prob=(0.25, 0.25, 0.25, 0.25)):
 
     return jax.vmap(per_sample, in_axes=(0, 0, 0))(
         jnp.arange(b), keys, video)
+
+
+def warp_token_plan(key, video, vid_strategy_prob=(0.25, 0.25, 0.25, 0.25)):
+    """Token-level form of :func:`warp`: VQGAN encoding is per-frame, so
+    strategies 0 (steal a frame) and 1 (shuffle frames) are pure frame
+    permutations of the ALREADY-encoded target tokens, and strategies 2/3
+    modify exactly ONE frame — only that frame needs a fresh encode.
+    Applying the plan with :func:`apply_warp_token_plan` is bitwise
+    identical to ``get_image_tokens(warp(key, video))`` for the same key
+    (same split structure and draw order), at 1/T of the encoder work —
+    the VID branch's per-step re-encode drops from B*T to B frames.
+
+    Returns (mod_frame [B,H,W,3] pixels — frame j1 with the strategy-2/3
+    pixel modification applied (untouched for 0/1; encoded but unused),
+    plan dict of per-sample indices).
+    """
+    b, t = video.shape[0], video.shape[1]
+    probs = jnp.asarray(vid_strategy_prob, jnp.float32)
+    keys = jax.random.split(key, b)
+
+    def per_sample(i, k, x):
+        ks = jax.random.split(k, 6)
+        strategy = jax.random.choice(ks[0], 4, p=probs)
+        j1 = jax.random.randint(ks[1], (), 0, t)
+        j2 = jax.random.randint(ks[2], (), 0, t)
+        off = jax.random.randint(ks[3], (), 1, max(b, 2))
+        i_other = (i + off) % b
+        perm = jax.random.permutation(ks[4], t)
+        perm = jax.lax.cond(jnp.all(perm == jnp.arange(t)),
+                            lambda p: jnp.roll(p, 1), lambda p: p, perm)
+        frame = x[j1]
+        mod = jnp.where(strategy == 3,
+                        _affine_warp_frame(ks[5], frame, angle_deg=30.0,
+                                           trans=0.1, scale=0.1),
+                        _color_shift_frame(ks[5], frame))
+        return mod, strategy, j1, j2, i_other, perm
+
+    mod, strategy, j1, j2, i_other, perm = jax.vmap(
+        per_sample, in_axes=(0, 0, 0))(jnp.arange(b), keys, video)
+    return mod, {'strategy': strategy, 'j1': j1, 'j2': j2,
+                 'i_other': i_other, 'perm': perm}
+
+
+def apply_warp_token_plan(target_tokens, mod_tokens, plan):
+    """Assemble the warped token sequence from the plan.
+
+    target_tokens [B, T*n] (the MSM branch's already-encoded targets),
+    mod_tokens [B, n] (encode of the plan's mod_frame).
+    Returns [B, T*n] equal to ``get_image_tokens(warp(...))``."""
+    b, total = target_tokens.shape
+    t = plan['perm'].shape[1]
+    n = total // t
+    grid = target_tokens.reshape(b, t, n)
+
+    def per_sample(i, g):
+        s = plan['strategy'][i]
+        y0 = g.at[plan['j1'][i]].set(grid[plan['i_other'][i],
+                                          plan['j2'][i]])
+        y1 = g[plan['perm'][i]]
+        y23 = g.at[plan['j1'][i]].set(mod_tokens[i])
+        return jnp.select([s == 0, s == 1, s >= 2], [y0, y1, y23])
+
+    out = jax.vmap(per_sample)(jnp.arange(b), grid)
+    return out.reshape(b, total)

@@ -74,6 +74,16 @@ def main():
             'frames_s': round(b * 8 / dt, 1),
             'loss': round(loss, 3)}), flush=True)
 
+        if os.environ.get('MMVID_TRAIN_TRACE') == '1':
+            # device trace of ONE step -> top leaf spans (VERDICT r2 #7)
+            trace_dir = f'/tmp/mmvid_train_trace_b{b}'
+            jax.profiler.start_trace(trace_dir)
+            state, m = step(state, batch, jax.random.fold_in(key, 99))
+            float(m['loss'])
+            jax.profiler.stop_trace()
+            from trace_decode import print_top_leaf_spans
+            print_top_leaf_spans(trace_dir)
+
 
 if __name__ == '__main__':
     main()

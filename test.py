@@ -110,7 +110,9 @@ def main_worker(args):
                 return _orig_gen(*a, **kw)
 
             model.generate_images = _gen_int8
-            print('int8: ART-V decode (int8 weights + int8 KV caches)')
+            print('int8: ART-V decode (int8 weights + int8 KV caches). '
+                  'NB measured SLOWER than bf16 on v5e (ROADMAP.md): the '
+                  'decode step is op-overhead-bound, not bandwidth-bound.')
         else:
             from mmvid_tpu.ops.int8 import quantize_for_serving
             model = quantize_for_serving(model)

@@ -101,3 +101,36 @@ def test_warp_video_with_color_per_sample():
         m = inside[i, 0] & inside[i, 1]
         if m.any():
             np.testing.assert_allclose(d[i, 0][m], d[i, 1][m], atol=1e-6)
+
+
+def test_warp_token_plan_matches_pixel_warp():
+    """The token-level plan (encode ONE frame per sample) must reproduce
+    get_image_tokens(warp(...)) bitwise for the same key — same split
+    structure, same draw order, per-frame-independent encoder."""
+    from mmvid_tpu.models.vqgan import VQGanConfig, VQGanVAE
+    from mmvid_tpu.models.warp import apply_warp_token_plan, warp_token_plan
+
+    vq = VQGanConfig(resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                     z_channels=64, embed_dim=64, n_embed=256,
+                     attn_resolutions=())
+    vae = VQGanVAE(image_size=16, cfg=vq)
+    rng = np.random.RandomState(3)
+    video = jnp.asarray(rng.uniform(0, 1, (4, 3, 16, 16, 3)), jnp.float32)
+    b, t = 4, 3
+    n = vae.image_seq_len
+
+    def encode(frames):     # [B, T, H, W, 3] -> [B, T*n]
+        bb, tt = frames.shape[:2]
+        toks = vae.get_codebook_indices(
+            frames.reshape((bb * tt,) + frames.shape[2:]))
+        return toks.reshape(bb, tt * n)
+
+    for seed in (0, 1, 7):
+        key = jax.random.PRNGKey(seed)
+        ref = np.asarray(encode(warp(key, video)))
+        target_tokens = encode(video)
+        mod_frame, plan = warp_token_plan(key, video)
+        mod_tokens = vae.get_codebook_indices(mod_frame)
+        got = np.asarray(apply_warp_token_plan(
+            target_tokens, mod_tokens.reshape(b, n), plan))
+        np.testing.assert_array_equal(got, ref, err_msg=f'seed {seed}')
