@@ -121,6 +121,36 @@ def test_ar_sample_kv_cache_matches_full_forward():
     np.testing.assert_array_equal(toks_cached[0], np.asarray(out))
 
 
+def test_ar_sample_fused_decode_matches(monkeypatch):
+    """MMVID_ARTV_FUSED=1 (ops/artv_decode.py, one Pallas program per
+    block per token) must reproduce the unfused greedy rollout.  On the
+    fp32 tiny model the online-softmax accumulation is numerically tight
+    enough for exact token equality; bf16-model near-ties are covered by
+    the HW A/B in ROADMAP.md."""
+    core = ArtvCore(CFG)
+    rng = np.random.RandomState(43)
+    text = jnp.asarray(rng.randint(1, 50, (2, 6)), jnp.int32)
+    visual = jnp.asarray(rng.randint(0, 1024, (2, CFG.visual_seq_len)),
+                         jnp.int32)
+    params = core.init(jax.random.PRNGKey(0), text, visual,
+                       jnp.zeros((2, CFG.target_seq_len), jnp.int32)
+                       )['params']
+    t_ref = np.asarray(ar_sample(core, params, text, visual,
+                                 jax.random.PRNGKey(1), temperature=1e-6))
+    monkeypatch.setenv('MMVID_ARTV_FUSED', '1')
+    t_fused = np.asarray(ar_sample(core, params, text, visual,
+                                   jax.random.PRNGKey(1),
+                                   temperature=1e-6))
+    np.testing.assert_array_equal(t_fused, t_ref)
+
+    # windowing off (single full-width segment) must also agree — the
+    # fused kernel's chunk masking is what makes the pad inert
+    monkeypatch.setenv('MMVID_ARTV_WINDOW', '0')
+    t_nw = np.asarray(ar_sample(core, params, text, visual,
+                                jax.random.PRNGKey(1), temperature=1e-6))
+    np.testing.assert_array_equal(t_nw, t_ref)
+
+
 def test_ar_sample_int8_decode_proxy():
     """int8=True decode (int8 weights + int8 KV caches, beyond-parity
     serving path): greedy trajectories must stay close to the bf16 path on
