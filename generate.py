@@ -54,9 +54,11 @@ def parse_args(argv=None):
     p.add_argument('--loss_img_weight', type=int, default=7)
     p.add_argument('--ar', action='store_true')
     p.add_argument('--int8', action='store_true',
-                   help='w8a8 int8 serving quantization of the backbone '
-                        '(ops/int8.py; +8%% sampling throughput on v5e, '
-                        'calibrated on startup; not for --ar)')
+                   help='int8 serving quantization: w8a8 backbone+decoder '
+                        'for mask-predict (ops/int8.py, +35%% at b64 on '
+                        'v5e, calibrated on startup); with --ar, int8 '
+                        'weights+KV caches in the decode step (measured '
+                        'SLOWER than bf16 on v5e — see ROADMAP.md)')
     return p.parse_args(argv)
 
 

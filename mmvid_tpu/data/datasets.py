@@ -538,7 +538,7 @@ class TextImageStackDataset(_SkipMixin):
                  truncate_captions=False, resize_ratio=1.0, tokenizer=None,
                  shuffle=False, frame_step=1, frame_num=8,
                  deterministic=False, video_only=False, keys=None,
-                 drop_sentence=False):
+                 drop_sentence=False, cache=None):
         self.text_len = text_len
         self.image_size = image_size
         self.truncate_captions = truncate_captions
@@ -552,18 +552,34 @@ class TextImageStackDataset(_SkipMixin):
 
         path = Path(folder)
         self.root = str(path)
-        video_root = os.path.join(self.root, 'video')
-        text_root = os.path.join(self.root, 'txt')
-        text_files = set(os.listdir(text_root)) if os.path.isdir(text_root) \
-            else set()
-        self.keys, self.texts, self.videos = [], {}, {}
-        for name in natsorted(os.listdir(video_root)):
-            stem = Path(name).stem
-            if is_image_file(name) and (video_only
-                                        or stem + '.txt' in text_files):
-                self.keys.append(stem)
-                self.texts[stem] = os.path.join('txt', stem + '.txt')
-                self.videos[stem] = os.path.join('video', name)
+        # key-scan pickle cache, same contract as the reference's
+        # TextImageStackDataset(cache=...) (loader.py:867,909-956)
+        cache_path = Path(cache) if cache else None
+        if cache_path is not None and cache_path.exists():
+            import pickle
+            with open(cache_path, 'rb') as f:
+                data = pickle.load(f)
+            self.keys = data['keys']
+            self.texts, self.videos = data['texts'], data['videos']
+        else:
+            video_root = os.path.join(self.root, 'video')
+            text_root = os.path.join(self.root, 'txt')
+            text_files = (set(os.listdir(text_root))
+                          if os.path.isdir(text_root) else set())
+            self.keys, self.texts, self.videos = [], {}, {}
+            for name in natsorted(os.listdir(video_root)):
+                stem = Path(name).stem
+                if is_image_file(name) and (video_only
+                                            or stem + '.txt' in text_files):
+                    self.keys.append(stem)
+                    self.texts[stem] = os.path.join('txt', stem + '.txt')
+                    self.videos[stem] = os.path.join('video', name)
+            if cache_path is not None:
+                import pickle
+                cache_path.parent.mkdir(parents=True, exist_ok=True)
+                with open(cache_path, 'wb') as f:
+                    pickle.dump({'keys': self.keys, 'texts': self.texts,
+                                 'videos': self.videos}, f)
         if keys is not None:
             self.keys = sorted(set(self.keys) & set(keys))
         self.transform = VideoTransform(image_size, resize_ratio,

@@ -260,7 +260,7 @@ def get_dataset(args, tokenizer):
             resize_ratio=args.resize_ratio, tokenizer=tokenizer,
             deterministic=args.deterministic, frame_step=args.frame_step,
             frame_num=args.frame_num, keys=keys,
-            video_only=args.video_only)
+            video_only=args.video_only, cache=args.dataset_cache)
     if args.dataset == 'image_text':
         return TextImageDataset(
             args.image_text_folder, text_len=args.text_seq_len,

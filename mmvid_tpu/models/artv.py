@@ -416,7 +416,7 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
     dec_blocks = [{'ln_1': p['ln_1'], 'ln_2': p['ln_2'],
                    'attn': {'qkv': fuse_qkv(p['attn']),
                             'out': p['attn']['out']},
-                   'mlp': p['mlp']} for p in blocks]
+                   'mlp': p['mlp']} for p in blocks] if not int8 else None
 
     def dot(x, sub):
         return jnp.dot(x.astype(dt), sub['kernel'],
@@ -432,18 +432,11 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
         return {'w_q': w_q, 'w_s': w_s, 'bias': sub['bias']}
 
     def quant_block(p):
-        # fused q/k/v (see fuse_qkv) — per-output-channel scales make the
+        # fused q/k/v via the same fuse_qkv as the bf16 path (one concat
+        # layout definition) — per-output-channel scales make the
         # concatenated quantization bitwise-equal to three separate ones
-        raw_qkv = {'kernel': jnp.concatenate(
-                       [p['attn']['query']['kernel'],
-                        p['attn']['key']['kernel'],
-                        p['attn']['value']['kernel']], axis=1),
-                   'bias': jnp.concatenate(
-                       [p['attn']['query']['bias'],
-                        p['attn']['key']['bias'],
-                        p['attn']['value']['bias']])}
         return {'ln_1': p['ln_1'], 'ln_2': p['ln_2'],
-                'attn': {'qkv': quant_weight(raw_qkv),
+                'attn': {'qkv': quant_weight(fuse_qkv(p['attn'])),
                          'out': quant_weight(p['attn']['out'])},
                 'mlp': {k: quant_weight(v) for k, v in p['mlp'].items()}}
 

@@ -210,12 +210,15 @@ def make_train_step(model: MMVIDBert, tc: TrainConfig):
     # recomputes through fp32 XLA, making grads inconsistent with the
     # forward (~1e-3).  Bench/serving may set it; training may not.
     import os as _os
-    for flag in ('MMVID_ATTN_BF16', 'MMVID_ATTN_INT8'):
-        if _os.environ.get(flag) == '1':
-            raise RuntimeError(
-                f'{flag}=1 is a serving/bench-only flag: its quantized '
-                'attention forward is inconsistent with the fp32 '
-                'recompute backward. Unset it for training.')
+    if _os.environ.get('MMVID_PALLAS_ATTN') == '1':
+        # the flags are only read inside the Pallas kernel, so without
+        # MMVID_PALLAS_ATTN they are inert and must not abort training
+        for flag in ('MMVID_ATTN_BF16', 'MMVID_ATTN_INT8'):
+            if _os.environ.get(flag) == '1':
+                raise RuntimeError(
+                    f'{flag}=1 is a serving/bench-only flag: its '
+                    'quantized attention forward is inconsistent with '
+                    'the fp32 recompute backward. Unset it for training.')
     tx = make_optimizer(tc)
 
     def loss_fn(params, batch, key):

@@ -17,7 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 def run_variant(name, batch, env, steps=20, iters=3):
     for k in ('MMVID_PALLAS_ATTN', 'MMVID_PALLAS_SAMPLER', 'MMVID_FAST_LN',
               'MMVID_FUSED_LNQKV', 'MMVID_ATTN_BF16', 'MMVID_ATTN_HPB',
-              'MMVID_ATTN_QB', 'MMVID_INT8'):
+              'MMVID_ATTN_QB', 'MMVID_ATTN_INT8', 'MMVID_INT8',
+              'MMVID_TOKEN_WARP', 'MMVID_ARTV_WINDOW', 'MMVID_ARTV_FUSED',
+              'MMVID_ARTV_INT8_WEIGHTS_ONLY'):
         os.environ.pop(k, None)
     os.environ.update(env)
 

@@ -153,6 +153,14 @@ def test_train_step_rejects_quantized_attention_flags(monkeypatch):
                    image_fmap_size=8, image_size=16,
                    clip=ClipStackConfig(width=64, layers=2, heads=2)),
         VQGanVAE(image_size=16, cfg=vq))
+    # the flags are only live under MMVID_PALLAS_ATTN=1 — without it they
+    # are inert (the XLA fp32 attention runs) and must NOT abort training
+    monkeypatch.delenv('MMVID_PALLAS_ATTN', raising=False)
+    for flag in ('MMVID_ATTN_BF16', 'MMVID_ATTN_INT8'):
+        monkeypatch.setenv(flag, '1')
+        make_train_step(model, TrainConfig())
+        monkeypatch.delenv(flag)
+    monkeypatch.setenv('MMVID_PALLAS_ATTN', '1')
     for flag in ('MMVID_ATTN_BF16', 'MMVID_ATTN_INT8'):
         monkeypatch.setenv(flag, '1')
         with _pytest.raises(RuntimeError, match='serving/bench-only'):
