@@ -106,7 +106,7 @@ def main():
         'value': round(fps_chip, 2),
         'unit': 'frames/sec/chip',
         'vs_baseline': round(fps_chip / BASELINE_FRAMES_PER_SEC, 2),
-    }))
+    }), flush=True)
 
 
 if __name__ == '__main__':

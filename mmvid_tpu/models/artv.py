@@ -473,6 +473,16 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
     if fused:
         from mmvid_tpu.ops.artv_decode import stack_decode_params
         stacked_dec = stack_decode_params(dec_blocks, dim)
+    # Flat lane-dense K/V cache layout for the XLA decode path
+    # (MMVID_ARTV_FLAT, trace-time): the [..., heads=12, hd=64] minor dims
+    # force XLA's tiled layout to pad each (12, 64) slab to (16, 128) —
+    # ~2.7x physical cache size and exactly the measured 4.2x-off-roofline
+    # cache streaming (ROADMAP round 3).  Storing [.., W, H*D] keeps tiles
+    # dense; the attention einsums become broadcast-multiply-reduce
+    # fusions over the dense minor axis (same fp32 product/accumulate
+    # numerics as the einsums, different only in reduction order).
+    flat = (not int8 and not fused
+            and _os.environ.get('MMVID_ARTV_FLAT', '0') == '1')
 
     def block_step(p, i, x, cache_k, cache_v, pos):
         """One-token pass through block i, updating the STACKED caches
@@ -500,6 +510,37 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
         attn = jax.nn.softmax(logits, axis=-1)
         o = jnp.einsum('bhl,blhd->bhd', attn.astype(dt), cache_v[i],
                        preferred_element_type=jnp.float32).reshape(b, -1)
+        o = dot(o, p['attn']['out'])
+        x = x + o
+        h = _ln(p['ln_2'], x)
+        h = dot(h, p['mlp']['fc'])
+        h = h * jax.nn.sigmoid(1.702 * h)
+        h = dot(h, p['mlp']['proj'])
+        return x + h, cache_k, cache_v
+
+    def block_step_flat(p, i, x, cache_k, cache_v, pos):
+        """block_step over the FLAT [n_layers, B, W, D] caches (see the
+        MMVID_ARTV_FLAT note above): QK^T and AV are broadcast-multiply-
+        reduce fusions reading the cache's dense minor axis once — fp32
+        products and accumulation, matching the einsum path's math up to
+        reduction order."""
+        W = cache_k.shape[2]
+        h = _ln(p['ln_1'], x)
+        qkv = dot(h, p['attn']['qkv'])
+        q, k, v = qkv[:, :dim], qkv[:, dim:2 * dim], qkv[:, 2 * dim:]
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k.reshape(1, b, 1, dim).astype(dt), (i, 0, pos, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v.reshape(1, b, 1, dim).astype(dt), (i, 0, pos, 0))
+        q32 = q.astype(dt).astype(jnp.float32)
+        prod = q32[:, None, :] * cache_k[i].astype(jnp.float32)
+        logits = prod.reshape(b, W, heads, hd).sum(-1)     # [B, W, H]
+        logits = logits * (hd ** -0.5)
+        valid = jnp.arange(W)[None, :, None] <= pos
+        logits = jnp.where(valid, logits, -1e9)
+        attn = jax.nn.softmax(logits, axis=1)              # over W
+        rep = jnp.repeat(attn.astype(dt).astype(jnp.float32), hd, axis=2)
+        o = (rep * cache_v[i].astype(jnp.float32)).sum(axis=1)  # [B, D]
         o = dot(o, p['attn']['out'])
         x = x + o
         h = _ln(p['ln_2'], x)
@@ -589,12 +630,12 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
                 _q8(pre_k[i], k_scales[i]))
             cache_v = cache_v.at[i, :, :ctrl_len].set(
                 _q8(pre_v[i], v_scales[i]))
-    elif fused:
+    elif fused or flat:
         # flat lane-dense layout [n_layers, B, Wpad, D]: the trailing
         # (heads, hd) = (12, 64) split forces a padded (16, 128) tiled
         # layout in HBM (~2.7x physical blowup, measured 4.2x-off-roofline
         # cache streaming) — flattening heads into one 768-wide minor axis
-        # restores dense tiles for the kernel's chunk DMAs
+        # restores dense tiles
         cache_k = jnp.zeros((n_layers, b, W0, dim), dt)
         cache_v = jnp.zeros((n_layers, b, W0, dim), dt)
         for i in range(n_layers):
@@ -716,6 +757,9 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
                     x, cache_k, cache_v = block_step8(blocks8[i], i, x,
                                                       cache_k, cache_v,
                                                       pos)
+                elif flat:
+                    x, cache_k, cache_v = block_step_flat(
+                        dec_blocks[i], i, x, cache_k, cache_v, pos)
                 else:
                     x, cache_k, cache_v = block_step(dec_blocks[i], i, x,
                                                      cache_k, cache_v,

@@ -149,6 +149,16 @@ def test_ar_sample_fused_decode_matches(monkeypatch):
     t_nw = np.asarray(ar_sample(core, params, text, visual,
                                 jax.random.PRNGKey(1), temperature=1e-6))
     np.testing.assert_array_equal(t_nw, t_ref)
+    monkeypatch.delenv('MMVID_ARTV_WINDOW')
+    monkeypatch.delenv('MMVID_ARTV_FUSED')
+
+    # flat lane-dense cache layout (MMVID_ARTV_FLAT=1, XLA path): same
+    # greedy rollout (fp32 tiny model -> exact)
+    monkeypatch.setenv('MMVID_ARTV_FLAT', '1')
+    t_flat = np.asarray(ar_sample(core, params, text, visual,
+                                  jax.random.PRNGKey(1),
+                                  temperature=1e-6))
+    np.testing.assert_array_equal(t_flat, t_ref)
 
 
 def test_ar_sample_int8_decode_proxy():

@@ -244,7 +244,10 @@ def test_dryrun_multichip_subprocess_hostile_env():
         [sys.executable, '-c',
          'from __graft_entry__ import dryrun_multichip;'
          'dryrun_multichip(8)'],
-        cwd=repo, env=env, capture_output=True, text=True, timeout=600)
+        # 242s idle-host; 1800s headroom because the full suite saturates
+        # the 1-core host and this subprocess compiles the whole multichip
+        # lifecycle (measured >600s under that contention).
+        cwd=repo, env=env, capture_output=True, text=True, timeout=1800)
     assert out.returncode == 0, out.stderr[-2000:]
     assert 'dryrun_multichip(8)' in out.stdout
 
