@@ -561,25 +561,43 @@ class TextImageStackDataset(_SkipMixin):
                 data = pickle.load(f)
             self.keys = data['keys']
             self.texts, self.videos = data['texts'], data['videos']
+            self.lengths = data.get('lengths', {})
         else:
             video_root = os.path.join(self.root, 'video')
             text_root = os.path.join(self.root, 'txt')
             text_files = (set(os.listdir(text_root))
                           if os.path.isdir(text_root) else set())
             self.keys, self.texts, self.videos = [], {}, {}
+            self.lengths = {}
             for name in natsorted(os.listdir(video_root)):
                 stem = Path(name).stem
                 if is_image_file(name) and (video_only
                                             or stem + '.txt' in text_files):
+                    # probe the stack once for its frame count (header-only
+                    # PIL open) and drop undecodable stacks at scan, like
+                    # the reference (loader.py:931-948) — keeps the cache
+                    # pickle loadable by the reference's loader too
+                    try:
+                        from PIL import Image
+                        with Image.open(os.path.join(video_root,
+                                                     name)) as im:
+                            w, h = im.size
+                    except OSError:
+                        continue
                     self.keys.append(stem)
                     self.texts[stem] = os.path.join('txt', stem + '.txt')
                     self.videos[stem] = os.path.join('video', name)
+                    self.lengths[stem] = max(w, h) // min(w, h)
             if cache_path is not None:
                 import pickle
                 cache_path.parent.mkdir(parents=True, exist_ok=True)
                 with open(cache_path, 'wb') as f:
-                    pickle.dump({'keys': self.keys, 'texts': self.texts,
-                                 'videos': self.videos}, f)
+                    # full reference cache contract (loader.py:916-920,
+                    # 953-960): root/keys/texts/videos/lengths
+                    pickle.dump({'root': self.root, 'keys': self.keys,
+                                 'texts': self.texts,
+                                 'videos': self.videos,
+                                 'lengths': self.lengths}, f)
         if keys is not None:
             self.keys = sorted(set(self.keys) & set(keys))
         self.transform = VideoTransform(image_size, resize_ratio,

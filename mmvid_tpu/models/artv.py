@@ -285,9 +285,18 @@ class ArtvModel:
 
     def generate_images(self, key, text, *, visual=None, filter_thres=0.5,
                         temperature=1.0, decode=True, int8=False, **unused):
+        import os as _os
+        # the decode-path env flags are read at TRACE time inside
+        # ar_sample, so they must key the trace cache too — otherwise
+        # toggling one on a live model silently reuses the stale trace
+        # (the stale-trace hazard CLAUDE.md calls out)
+        env_flags = tuple(
+            _os.environ.get(k, '') for k in
+            ('MMVID_ARTV_WINDOW', 'MMVID_ARTV_FUSED', 'MMVID_ARTV_FLAT',
+             'MMVID_ARTV_INT8_WEIGHTS_ONLY'))
         statics = (visual is not None,
                    visual.ndim if visual is not None else 0,
-                   filter_thres, temperature, decode, int8)
+                   filter_thres, temperature, decode, int8, env_flags)
         if statics not in self._gen_cache:
             def impl(params, vae_params, text, visual, key):
                 if visual is not None and visual.ndim >= 4:

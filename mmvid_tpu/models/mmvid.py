@@ -231,10 +231,19 @@ class MMVIDBert:
                                    preserve is not None)
         spec = build_spec(mp_config, N, steps=mask_predict_steps,
                           dynamic=dynamic)
+        import os as _os
+        # env perf flags are read at TRACE time (clip.py / sampler.py /
+        # ops/attention.py), so they must key the trace cache — otherwise
+        # toggling one on a live model silently reuses the stale trace
+        env_flags = tuple(
+            _os.environ.get(k, '') for k in
+            ('MMVID_PALLAS_ATTN', 'MMVID_PALLAS_SAMPLER', 'MMVID_FAST_LN',
+             'MMVID_FUSED_LNQKV', 'MMVID_ATTN_BF16', 'MMVID_ATTN_HPB',
+             'MMVID_ATTN_QB', 'MMVID_ATTN_INT8'))
         statics = (spec, pmask.tobytes(), visual is not None,
                    visual.ndim if visual is not None else 0,
                    preserve is not None, erase_visual, vc_mode, face_mode,
-                   long_mode, t_overlap, decode)
+                   long_mode, t_overlap, decode, env_flags)
         if statics not in self._gen_cache:
             def impl(params, vae_params, text, visual, key, preserve):
                 k_vis, k_sample = jax.random.split(key)

@@ -109,6 +109,31 @@ def test_imagestack_text_routing(imagestack_tree, tok):
     assert ds[0]['target'].shape == (4, 16, 16, 3)
 
 
+def test_imagestack_cache_reference_contract(imagestack_tree, tok,
+                                             tmp_path):
+    """The key-scan cache pickle carries the reference loader's full
+    contract — root/keys/texts/videos/lengths (loader.py:916-920,953-960)
+    — so a cache written here loads in the reference and vice versa."""
+    import pickle
+    from mmvid_tpu.data import TextImageStackDataset
+    cache = tmp_path / 'scan.pkl'
+    ds = TextImageStackDataset(str(imagestack_tree), text_len=20,
+                               image_size=16, tokenizer=tok,
+                               frame_num=4, frame_step=1,
+                               deterministic=True, cache=str(cache))
+    with open(cache, 'rb') as f:
+        data = pickle.load(f)
+    assert set(data) == {'root', 'keys', 'texts', 'videos', 'lengths'}
+    # the fixture strips are 6 frames of 32px tiled horizontally
+    assert all(data['lengths'][k] == 6 for k in data['keys'])
+    ds2 = TextImageStackDataset(str(imagestack_tree), text_len=20,
+                                image_size=16, tokenizer=tok,
+                                frame_num=4, frame_step=1,
+                                deterministic=True, cache=str(cache))
+    assert ds2.keys == ds.keys and ds2.lengths == ds.lengths
+    np.testing.assert_allclose(ds2[0]['target'], ds[0]['target'])
+
+
 def test_text_video_dataset(vox_tree, tok):
     ds = TextVideoDataset(str(vox_tree), text_len=20, image_size=32,
                           truncate_captions=True, tokenizer=tok,

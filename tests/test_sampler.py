@@ -181,6 +181,31 @@ def test_generate_images_end_to_end():
     assert float(videos.min()) >= 0.0 and float(videos.max()) <= 1.0
 
 
+def test_generate_images_env_flags_key_trace_cache(monkeypatch):
+    """Env perf flags are read at TRACE time, so toggling one on a live
+    model must key a fresh trace instead of silently reusing the stale
+    one (the CLAUDE.md stale-trace hazard). Uses decode=False to keep the
+    two compiles cheap."""
+    vq_cfg = VQGanConfig(resolution=16, ch=32, ch_mult=(1, 2),
+                         num_res_blocks=1, z_channels=64, embed_dim=64,
+                         n_embed=1024, attn_resolutions=())
+    model = MMVIDBert(TINY_CFG, VQGanVAE(image_size=16, cfg=vq_cfg))
+    text = jnp.ones((2, 6), jnp.int32)
+    monkeypatch.delenv('MMVID_ATTN_HPB', raising=False)
+    _, seq1 = model.generate_images(jax.random.PRNGKey(0), text,
+                                    mask_predict_steps=2, dynamic=False,
+                                    decode=False)
+    assert len(model._gen_cache) == 1
+    monkeypatch.setenv('MMVID_ATTN_HPB', '4')
+    _, seq2 = model.generate_images(jax.random.PRNGKey(0), text,
+                                    mask_predict_steps=2, dynamic=False,
+                                    decode=False)
+    assert len(model._gen_cache) == 2, 'env flag did not key the cache'
+    # the flag only affects the Pallas kernel's grid, which is off here:
+    # the re-trace must not change the sampled tokens
+    np.testing.assert_array_equal(np.asarray(seq1), np.asarray(seq2))
+
+
 def test_interpolation_doubles_frames():
     """Hierarchical interpolation: each level doubles the frame count and
     preserves the source frames at even slots."""
