@@ -398,7 +398,9 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
         {'params': params},
         jnp.zeros((b, cfg.target_seq_len, cfg.dim)),
         method=lambda m, x: m.image_pos_emb(x))
-    image_emb_table = params['image_emb']['embedding']
+    # jnp.asarray: params may arrive as host numpy (checkpoint/oracle
+    # converters) and numpy tables cannot be gathered with a traced token
+    image_emb_table = jnp.asarray(params['image_emb']['embedding'])
 
     def cast_block(p):
         # weights in the compute dtype (cast once, outside the scan); LN
