@@ -293,7 +293,8 @@ class ArtvModel:
         env_flags = tuple(
             _os.environ.get(k, '') for k in
             ('MMVID_ARTV_WINDOW', 'MMVID_ARTV_FUSED', 'MMVID_ARTV_FLAT',
-             'MMVID_ARTV_INT8_WEIGHTS_ONLY'))
+             'MMVID_ARTV_INT8_WEIGHTS_ONLY', 'MMVID_ARTV_SPEC',
+             'MMVID_ARTV_SPEC_FORCE'))
         statics = (visual is not None,
                    visual.ndim if visual is not None else 0,
                    filter_thres, temperature, decode, int8, env_flags)
@@ -383,6 +384,20 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
     abs-max is VPU noise at decode shapes, unlike the serving backbone
     where in-loop reduces cost the MXU gain (ops/int8.py docstring).
     """
+    import os as _os
+
+    # Exact speculative multi-token decode (MMVID_ARTV_SPEC=k, trace-time
+    # opt-in): copy-previous-frame drafts verified by rejection sampling —
+    # identical output distribution, up to k+1 tokens per chunk forward
+    # (models/artv_spec.py).  bf16 path only.
+    spec_k = int(_os.environ.get('MMVID_ARTV_SPEC', '0') or 0)
+    if spec_k > 0 and not int8:
+        from mmvid_tpu.models.artv_spec import ar_sample_spec
+        toks, _ = ar_sample_spec(core, params, text, visual_tokens, key,
+                                 spec_k=spec_k, filter_thres=filter_thres,
+                                 temperature=temperature)
+        return toks
+
     cfg = core.cfg
     clip_cfg = cfg.clip
     heads, hd = clip_cfg.heads, clip_cfg.width // clip_cfg.heads

@@ -19,7 +19,8 @@ def run_variant(name, batch, env, steps=20, iters=3):
               'MMVID_FUSED_LNQKV', 'MMVID_ATTN_BF16', 'MMVID_ATTN_HPB',
               'MMVID_ATTN_QB', 'MMVID_ATTN_INT8', 'MMVID_INT8',
               'MMVID_TOKEN_WARP', 'MMVID_ARTV_WINDOW', 'MMVID_ARTV_FUSED',
-              'MMVID_ARTV_FLAT', 'MMVID_ARTV_INT8_WEIGHTS_ONLY'):
+              'MMVID_ARTV_FLAT', 'MMVID_ARTV_INT8_WEIGHTS_ONLY',
+              'MMVID_ARTV_SPEC', 'MMVID_ARTV_SPEC_FORCE'):
         os.environ.pop(k, None)
     os.environ.update(env)
 
