@@ -53,6 +53,13 @@ def parse_args(argv=None):
     p.add_argument('--use_separate_visual_emb', action='store_true')
     p.add_argument('--loss_img_weight', type=int, default=7)
     p.add_argument('--ar', action='store_true')
+    p.add_argument('--spec', type=int, default=0, metavar='K',
+                   help='(with --ar) exact speculative decode: verify K '
+                        'copy-previous-frame draft tokens per chunk '
+                        'forward (models/artv_spec.py). Output '
+                        'distribution is identical to the baseline; the '
+                        'speedup scales with the draft acceptance rate '
+                        'on the served weights.')
     p.add_argument('--int8', action='store_true',
                    help='int8 serving quantization: w8a8 backbone+decoder '
                         'for mask-predict (ops/int8.py, +35%% at b64 on '
@@ -113,6 +120,18 @@ def main(args=None):
         cvae.params = cvae_params
     model = factories.get_dalle(args, vae, cvae)
     model.params = params
+    if args.spec:
+        if not args.ar:
+            raise SystemExit('--spec requires --ar (speculative decode '
+                             'accelerates the autoregressive sampler; '
+                             'mask-predict is already parallel)')
+        if args.int8:
+            raise SystemExit('--spec is a bf16 decode path; drop --int8 '
+                             '(measured slower for AR anyway, ROADMAP.md)')
+        import os as _os
+        _os.environ['MMVID_ARTV_SPEC'] = str(args.spec)
+        print(f'speculative AR decode: chunks of {args.spec} '
+              f'copy-previous-frame drafts, exact verification')
     ar_int8 = False
     if args.int8:
         if args.ar:

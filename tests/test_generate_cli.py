@@ -90,3 +90,48 @@ def test_generate_cli_int8(tmp_path):
         '--format', 'png', '--int8'])
     gen.main(args)
     assert len(list((tmp_path / 'out').glob('*.png'))) == 1
+
+
+def test_generate_cli_ar_spec(tmp_path, monkeypatch):
+    """--ar --spec K: speculative AR serving end-to-end (exactness is
+    proven in test_artv_spec.py; this drives the CLI wiring)."""
+    from mmvid_tpu.models.artv import ArtvConfig, ArtvCore
+    from mmvid_tpu.models.clip import ClipStackConfig
+    from mmvid_tpu.utils.checkpoint import save_checkpoint
+
+    # setenv first so monkeypatch records the original (absent) state and
+    # teardown removes the value gen.main sets; then start clean
+    monkeypatch.setenv('MMVID_ARTV_SPEC', '0')
+    os.environ.pop('MMVID_ARTV_SPEC')
+    # factories.get_dalle forces num_visuals>=1 for --ar (the reference's
+    # ARTV always carries a visual branch), so the checkpoint must too
+    cfg = ArtvConfig(dim=64, num_text_tokens=49408, text_seq_len=12,
+                     num_visuals=1, num_targets=2, num_image_tokens=1024,
+                     image_fmap_size=2, image_size=32,
+                     clip=ClipStackConfig(width=64, layers=2, heads=2))
+    core = ArtvCore(cfg)
+    params = core.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 12), jnp.int32),
+                       jnp.zeros((1, cfg.visual_seq_len), jnp.int32),
+                       jnp.zeros((1, cfg.target_seq_len), jnp.int32)
+                       )['params']
+    save_checkpoint(str(tmp_path / 'run'), 1,
+                    {'step': 1, 'params': params},
+                    hparams={'dim': 64, 'text_seq_len': 12,
+                             'num_targets': 2, 'num_visuals': 1,
+                             'image_size': 32,
+                             'which_transformer': 'custom:64:2:2'})
+
+    gen = _load('generate')
+    common = ['--dalle_path', str(tmp_path / 'run' / 'weights' / '1'),
+              '--prompts', 'a person is talking',
+              '--out_dir', str(tmp_path / 'out'),
+              '--batch_size', '1', '--format', 'png']
+    with pytest.raises(SystemExit):
+        gen.main(gen.parse_args(common + ['--spec', '4']))       # no --ar
+    with pytest.raises(SystemExit):
+        gen.main(gen.parse_args(common + ['--ar', '--spec', '4',
+                                          '--int8']))
+    gen.main(gen.parse_args(common + ['--ar', '--spec', '4']))
+    assert len(list((tmp_path / 'out').glob('*.png'))) == 1
+    assert os.environ.get('MMVID_ARTV_SPEC') == '4'
