@@ -212,6 +212,10 @@ def get_args_test(argv=None):
     # (ops/int8.py; calibrated on startup).  NB eval metrics then measure
     # the quantized model.
     add('--int8', action='store_true')
+    # beyond-parity: exact speculative AR decode (models/artv_spec.py) —
+    # K copy-previous-frame drafts verified per chunk forward, output
+    # distribution identical to the plain decode.
+    add('--spec', default=0, type=int, metavar='K')
     return p.parse_args(argv), p
 
 

@@ -99,6 +99,15 @@ def main_worker(args):
     model.params = adapt_stack_layout(
         params, model.cfg.clip.layers,
         model.cfg.clip.pipeline_stages > 1)
+    if getattr(args, 'spec', 0):
+        if not args.ar:
+            raise SystemExit('--spec requires --ar (speculative decode '
+                             'accelerates the autoregressive sampler)')
+        if getattr(args, 'int8', False):
+            raise SystemExit('--spec is a bf16 decode path; drop --int8')
+        os.environ['MMVID_ARTV_SPEC'] = str(args.spec)
+        print(f'speculative AR decode: chunks of {args.spec} '
+              f'copy-previous-frame drafts, exact verification')
     if getattr(args, 'int8', False):
         if args.ar:
             # ART-V int8 serving lives inside ar_sample (int8 weights +
@@ -121,6 +130,10 @@ def main_worker(args):
 
     dataset = factories.get_dataset(args, tokenizer)
     print(f'{len(dataset)} samples found')
+    if len(dataset) == 0:
+        raise SystemExit(
+            'dataset is empty after filtering (e.g. every clip shorter '
+            'than the min_len=8 frame requirement)')
     loader = DataLoader(dataset, batch_size=args.batch_size,
                         shuffle=not args.deterministic,
                         num_workers=min(args.num_workers, 16),

@@ -137,6 +137,19 @@ def test_test_driver_artv_sampling(data_tree, tmp_path):
                     ).glob('*.png'))
     assert samples, 'no ARTV sample grids written'
 
+    # --spec K routes sampling through the exact speculative decode (the
+    # --spec-without---ar guard is exercised in test_generate_cli.py;
+    # here the checkpoint's frozen hparams force ar=True regardless)
+    import os
+    assert 'MMVID_ARTV_SPEC' not in os.environ
+    try:
+        targs2 = process_args(train=False, argv=argv + ['--spec', '4'])
+        targs2.name = 'tiny_ar2'
+        test_mod.main_worker(targs2)
+        assert os.environ.get('MMVID_ARTV_SPEC') == '4'
+    finally:
+        os.environ.pop('MMVID_ARTV_SPEC', None)
+
 
 def test_test_driver_long_mode(data_tree, tmp_path):
     train_mod = _load('train')

@@ -145,6 +145,11 @@ def main_worker(args):
                          rng.permutation(len(dataset))[:max(keep, 1)])
     if is_root():
         print(f'{len(dataset)} samples found')
+    if len(dataset) == 0:
+        raise SystemExit(
+            'dataset is empty after filtering (e.g. every clip shorter '
+            'than the min_len=8 frame requirement) — infinite_batches '
+            'would spin forever on it')
     # args.batch_size is the GLOBAL batch (the reference divides it per
     # rank, train.py:95-97); each host loads its local slice.
     n_proc = jax.process_count()
