@@ -502,11 +502,13 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
     # Flat lane-dense K/V cache layout for the XLA decode path
     # (MMVID_ARTV_FLAT, trace-time): the [..., heads=12, hd=64] minor dims
     # force XLA's tiled layout to pad each (12, 64) slab to (16, 128) —
-    # ~2.7x physical cache size and exactly the measured 4.2x-off-roofline
-    # cache streaming (ROADMAP round 3).  Storing [.., W, H*D] keeps tiles
-    # dense; the attention einsums become broadcast-multiply-reduce
-    # fusions over the dense minor axis (same fp32 product/accumulate
-    # numerics as the einsums, different only in reduction order).
+    # ~2.7x physical cache size.  Storing [.., W, H*D] keeps tiles dense;
+    # the attention einsums become broadcast-multiply-reduce fusions over
+    # the dense minor axis (same fp32 product/accumulate numerics as the
+    # einsums, different only in reduction order).  MEASURED A LOSS on the
+    # v5e (b16 133.8 vs 170.8 f/s, b64 113.1 vs 215.9 — ROADMAP round 3):
+    # the VPU-side expanded multiply-reduce costs more than the padded
+    # tiles save.  Kept only as the documented closed hypothesis; OFF.
     flat = (not int8 and not fused
             and _os.environ.get('MMVID_ARTV_FLAT', '0') == '1')
 
