@@ -60,6 +60,10 @@ def parse_args(argv=None):
                         'distribution is identical to the baseline; the '
                         'speedup scales with the draft acceptance rate '
                         'on the served weights.')
+    p.add_argument('--bench_unsafe', action='store_true',
+                   help='allow bench-only env knobs whose output is '
+                        'garbage by design (MMVID_ARTV_SPEC_FORCE=1) in '
+                        'this serving process')
     p.add_argument('--int8', action='store_true',
                    help='int8 serving quantization: w8a8 backbone+decoder '
                         'for mask-predict (ops/int8.py, +35%% at b64 on '
@@ -78,6 +82,17 @@ def main(args=None):
     from mmvid_tpu.models.mmvid import DEFAULT_MP_CONFIG
     from mmvid_tpu.utils.html import save_gif, save_image_array, save_mp4
     from mmvid_tpu.utils.html import tile_video_row
+
+    # MMVID_ARTV_SPEC_FORCE accepts every draft — bench-ceiling only, its
+    # output is garbage by design (artv_spec.py).  Refuse it in serving
+    # the same way training refuses serving-only flags (training.py).
+    if (os.environ.get('MMVID_ARTV_SPEC_FORCE') == '1'
+            and not args.bench_unsafe):
+        raise SystemExit(
+            'MMVID_ARTV_SPEC_FORCE=1 is a bench-only ceiling knob that '
+            'accepts all speculative drafts — generated videos would be '
+            'garbage. Unset it, or pass --bench_unsafe if you really are '
+            'benchmarking through this CLI.')
 
     prompts = list(args.prompts or [])
     if args.prompt_file:
@@ -154,10 +169,20 @@ def main(args=None):
     t0 = time.time()
     n_done = 0
 
-    def write_out(i, chunk, videos_dev):
+    def write_out(i, chunk, videos_dev, steps_dev=None):
         """Force + download a finished batch and write its files."""
         nonlocal n_done
         videos = np.asarray(videos_dev)[:len(chunk)]
+        if steps_dev is not None:
+            # realised speculation gain on THESE weights/prompts: loop
+            # tokens committed per chunk forward (1.0 = no gain,
+            # spec+1 = every draft accepted)
+            n_loop = model.cfg.target_seq_len - 1
+            tpc = n_loop / np.maximum(np.asarray(steps_dev)[:len(chunk)],
+                                      1)
+            print(f'  spec acceptance: {tpc.mean():.2f} tokens/chunk '
+                  f'(min {tpc.min():.2f}, max {tpc.max():.2f}; '
+                  f'ceiling {args.spec + 1})')
         for j, (prompt, vid) in enumerate(zip(chunk, videos)):
             stem = f'{i + j:04d}_' + '_'.join(prompt.split()[:6])[:48]
             if args.format == 'gif':
@@ -186,14 +211,23 @@ def main(args=None):
                                   truncate_text=True)
         key, k = jax.random.split(key)
         gen_kwargs = {'int8': True} if ar_int8 else {}
-        videos_dev, _ = model.generate_images(
-            k, jnp.asarray(toks),
-            mask_predict_steps=args.mask_predict_steps,
-            dynamic=args.dynamic, mp_config=DEFAULT_MP_CONFIG,
-            **gen_kwargs)
+        steps_dev = None
+        if args.spec:
+            gen_kwargs['spec_stats'] = True
+            videos_dev, _, steps_dev = model.generate_images(
+                k, jnp.asarray(toks),
+                mask_predict_steps=args.mask_predict_steps,
+                dynamic=args.dynamic, mp_config=DEFAULT_MP_CONFIG,
+                **gen_kwargs)
+        else:
+            videos_dev, _ = model.generate_images(
+                k, jnp.asarray(toks),
+                mask_predict_steps=args.mask_predict_steps,
+                dynamic=args.dynamic, mp_config=DEFAULT_MP_CONFIG,
+                **gen_kwargs)
         if pending is not None:
             write_out(*pending)
-        pending = (i, chunk, videos_dev)
+        pending = (i, chunk, videos_dev, steps_dev)
     if pending is not None:
         write_out(*pending)
     print(f'wrote {n_done} videos to {out_dir}')

@@ -216,6 +216,9 @@ def get_args_test(argv=None):
     # K copy-previous-frame drafts verified per chunk forward, output
     # distribution identical to the plain decode.
     add('--spec', default=0, type=int, metavar='K')
+    # opt-in for bench-only env knobs whose output is garbage by design
+    # (MMVID_ARTV_SPEC_FORCE=1); serving refuses them otherwise
+    add('--bench_unsafe', action='store_true')
     return p.parse_args(argv), p
 
 

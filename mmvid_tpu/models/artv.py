@@ -284,7 +284,13 @@ class ArtvModel:
                          target_tokens)
 
     def generate_images(self, key, text, *, visual=None, filter_thres=0.5,
-                        temperature=1.0, decode=True, int8=False, **unused):
+                        temperature=1.0, decode=True, int8=False,
+                        spec_stats=False, **unused):
+        """spec_stats=True appends a per-lane chunk-step count [B] to the
+        returns: (videos, seq, steps).  With MMVID_ARTV_SPEC=k on,
+        (target_seq_len-1)/steps is the realised tokens-per-chunk-forward
+        (the speculation gain); on the baseline path steps is exactly
+        target_seq_len-1."""
         import os as _os
         # the decode-path env flags are read at TRACE time inside
         # ar_sample, so they must key the trace cache too — otherwise
@@ -297,7 +303,8 @@ class ArtvModel:
              'MMVID_ARTV_SPEC_FORCE'))
         statics = (visual is not None,
                    visual.ndim if visual is not None else 0,
-                   filter_thres, temperature, decode, int8, env_flags)
+                   filter_thres, temperature, decode, int8, spec_stats,
+                   env_flags)
         if statics not in self._gen_cache:
             def impl(params, vae_params, text, visual, key):
                 if visual is not None and visual.ndim >= 4:
@@ -308,17 +315,19 @@ class ArtvModel:
                     vtok = jnp.full(
                         (text.shape[0], self.cfg.visual_seq_len), -1,
                         jnp.int32)
-                seq = ar_sample(self.core, params, text, vtok, key,
-                                filter_thres=filter_thres,
-                                temperature=temperature, int8=int8)
+                seq, steps = ar_sample(self.core, params, text, vtok, key,
+                                       filter_thres=filter_thres,
+                                       temperature=temperature, int8=int8,
+                                       return_steps=True)
                 if not decode:
-                    return None, seq
+                    return (None, seq, steps) if spec_stats else (None, seq)
                 b = seq.shape[0]
                 frames = seq.reshape(b * self.cfg.num_targets,
                                      self.cfg.image_seq_len)
                 imgs = self.vae._decode_impl(vae_params, frames)
-                return imgs.reshape((b, self.cfg.num_targets)
-                                    + imgs.shape[1:]), seq
+                vids = imgs.reshape((b, self.cfg.num_targets)
+                                    + imgs.shape[1:])
+                return (vids, seq, steps) if spec_stats else (vids, seq)
             self._gen_cache[statics] = jax.jit(impl)
         return self._gen_cache[statics](self.params, self.vae.params, text,
                                         visual, key)
@@ -358,7 +367,7 @@ def _ln(p, x):
 
 def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
               filter_thres: float = 0.5, temperature: float = 1.0,
-              int8: bool = False):
+              int8: bool = False, return_steps: bool = False):
     """KV-cached sampling of all target tokens.
 
     1. Encode the control prefix (<bos>+text+visual) once through the stack,
@@ -393,10 +402,13 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
     spec_k = int(_os.environ.get('MMVID_ARTV_SPEC', '0') or 0)
     if spec_k > 0 and not int8:
         from mmvid_tpu.models.artv_spec import ar_sample_spec
-        toks, _ = ar_sample_spec(core, params, text, visual_tokens, key,
-                                 spec_k=spec_k, filter_thres=filter_thres,
-                                 temperature=temperature)
-        return toks
+        toks, steps = ar_sample_spec(core, params, text, visual_tokens,
+                                     key, spec_k=spec_k,
+                                     filter_thres=filter_thres,
+                                     temperature=temperature)
+        # steps [B] = chunk-forward count per lane; (target_seq_len-1)
+        # committed loop tokens / steps is the realised speculation gain
+        return (toks, steps) if return_steps else toks
 
     cfg = core.cfg
     clip_cfg = cfg.clip
@@ -823,4 +835,9 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
            else jnp.zeros((0, b), tok0.dtype))
     out = jnp.concatenate(
         [jnp.moveaxis(fed, 0, 1), last_tok[:, None]], axis=1)  # [B, n_gen]
-    return out.astype(jnp.int32)
+    out = out.astype(jnp.int32)
+    if return_steps:
+        # baseline: one loop token per step (exactly n_steps chunk-
+        # equivalents) — keeps generate_images' stats plumbing uniform
+        return out, jnp.full((b,), n_steps, jnp.int32)
+    return out

@@ -32,6 +32,17 @@ def main_worker(args):
     from mmvid_tpu.data.loader import DataLoader, infinite_batches
     from mmvid_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint
 
+    # MMVID_ARTV_SPEC_FORCE accepts every speculative draft — a bench-only
+    # ceiling knob whose output is garbage by design (artv_spec.py); refuse
+    # it here the way training refuses serving-only flags (training.py)
+    if (os.environ.get('MMVID_ARTV_SPEC_FORCE') == '1'
+            and not getattr(args, 'bench_unsafe', False)):
+        raise SystemExit(
+            'MMVID_ARTV_SPEC_FORCE=1 is a bench-only ceiling knob that '
+            'accepts all speculative drafts — outputs would be garbage. '
+            'Unset it, or pass --bench_unsafe if you really are '
+            'benchmarking through this CLI.')
+
     random.seed(args.seed)
     np.random.seed(args.seed)
     args.deterministic = True
