@@ -167,10 +167,10 @@ class MultiHeadAttention(nn.Module):
     def __call__(self, x, mask=None):
         import os
 
-        from mmvid_tpu.ops.int8 import CALIB_COL
+        from mmvid_tpu.ops.int8 import CALIB_COL, calib_stats
 
         if self.is_mutable_collection(CALIB_COL):
-            self.sow(CALIB_COL, 'qkv_in', jnp.max(jnp.abs(x)))
+            self.sow(CALIB_COL, 'qkv_in', calib_stats(x))
         sc = self.int8_scales or (None, None)
         b, l, d = x.shape
         h, hd = self.heads, self.width // self.heads
@@ -204,7 +204,7 @@ class MultiHeadAttention(nn.Module):
             out = out.transpose(0, 2, 1, 3).reshape(b, l, d).astype(
                 self.dtype)
         if self.is_mutable_collection(CALIB_COL):
-            self.sow(CALIB_COL, 'out_in', jnp.max(jnp.abs(out)))
+            self.sow(CALIB_COL, 'out_in', calib_stats(out))
         return self._proj(out, 'out', sc[1])
 
 
@@ -222,15 +222,15 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from mmvid_tpu.ops.int8 import CALIB_COL
+        from mmvid_tpu.ops.int8 import CALIB_COL, calib_stats
         calib = self.is_mutable_collection(CALIB_COL)
         sc = self.int8_scales or (None, None)
         if calib:
-            self.sow(CALIB_COL, 'fc_in', jnp.max(jnp.abs(x)))
+            self.sow(CALIB_COL, 'fc_in', calib_stats(x))
         x = self._dense(x, 4 * self.width, 'fc', sc[0])
         x = QuickGELU()(x)
         if calib:
-            self.sow(CALIB_COL, 'proj_in', jnp.max(jnp.abs(x)))
+            self.sow(CALIB_COL, 'proj_in', calib_stats(x))
         return self._dense(x, self.width, 'proj', sc[1])
 
 

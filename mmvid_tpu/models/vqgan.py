@@ -88,12 +88,13 @@ class _ConvParams(nn.Module):
 
 def _conv(mod: nn.Module, x, features: int, ksize, name: str,
           int8_scales=None):
-    """Stride-1 SAME conv site that (a) sows its input abs-max when a
-    CALIB_COL collection is mutable and (b) runs the int8 MXU path when
-    the module's path has a calibrated scale in ``int8_scales``."""
-    from mmvid_tpu.ops.int8 import CALIB_COL, quantized_conv
+    """Stride-1 SAME conv site that (a) sows its input |x| quantile
+    record when a CALIB_COL collection is mutable and (b) runs the int8
+    MXU path when the module's path has a calibrated scale in
+    ``int8_scales``."""
+    from mmvid_tpu.ops.int8 import CALIB_COL, calib_stats, quantized_conv
     if mod.is_mutable_collection(CALIB_COL):
-        mod.sow(CALIB_COL, f'{name}_in', jnp.max(jnp.abs(x)))
+        mod.sow(CALIB_COL, f'{name}_in', calib_stats(x))
     sc = None
     if int8_scales:
         sc = dict(int8_scales).get('/'.join(tuple(mod.path) + (name,)))

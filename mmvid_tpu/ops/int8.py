@@ -33,6 +33,31 @@ CALIB_COL = 'int8_calib'
 # mlp fc input [ln_2 output], mlp proj input [QuickGELU output])
 LayerScales = Tuple[float, float, float, float]
 
+# each calibration site records |x| at these quantiles (1.0 = abs-max),
+# so scale selection (abs-max vs percentile clipping) is a calibration-
+# time choice, not a re-instrumentation
+CALIB_QUANTILES = (0.999, 0.9999, 1.0)
+
+
+def calib_stats(x):
+    """[len(CALIB_QUANTILES)] |x| quantile record for a sow site."""
+    a = jnp.abs(x.astype(jnp.float32)).ravel()
+    return jnp.quantile(a, jnp.asarray(CALIB_QUANTILES))
+
+
+def _stat_index(percentile):
+    """percentile (None = abs-max, else e.g. 99.9) -> CALIB_QUANTILES idx."""
+    if percentile is None:
+        return len(CALIB_QUANTILES) - 1
+    q = float(percentile) / 100.0
+    for i, cq in enumerate(CALIB_QUANTILES):
+        if abs(cq - q) < 1e-9:
+            return i
+    raise ValueError(
+        f'unsupported calibration percentile {percentile}; recorded '
+        f'quantiles: {[q * 100 for q in CALIB_QUANTILES[:-1]]} or None '
+        f'(abs-max)')
+
 
 def quantized_dense(x, kernel, bias, a_scale: float):
     """y = x @ kernel + bias with an int8 MXU matmul.
@@ -99,7 +124,7 @@ def _flatten_calib(tree):
 
 
 def quantize_vae_decoder(vae, sample_tokens=None, key=None,
-                         headroom=1.25):
+                         headroom=1.25, percentile=None):
     """Calibrate the VQGAN DECODER's conv inputs on sample token grids and
     return a new VQGanVAE whose decode path runs int8 convs (params
     shared, unchanged; encode path stays bf16/fp32 — it feeds training).
@@ -108,6 +133,9 @@ def quantize_vae_decoder(vae, sample_tokens=None, key=None,
     (quantize_for_serving does) — coherent token grids can excite larger
     conv activations than uniform-random ones; ``headroom`` additionally
     widens the calibrated scales so near-range inputs do not saturate.
+    ``percentile`` (None = abs-max, or one of CALIB_QUANTILES as a
+    percentage, e.g. 99.9) clips activation outliers for finer
+    quantization of the bulk — the standard accuracy/saturation trade.
     """
     import dataclasses
 
@@ -124,7 +152,7 @@ def quantize_vae_decoder(vae, sample_tokens=None, key=None,
         method=VQModel.decode_code, mutable=[CALIB_COL])
     flat = _flatten_calib(aux[CALIB_COL])
     scales = tuple(sorted(
-        (path[:-len('_in')], _safe_scale(max(vals) * headroom))
+        (path[:-len('_in')], _site_scale(vals, percentile, headroom))
         for path, vals in flat.items() if path.endswith('_in')))
     assert scales, 'decoder calibration produced no conv records'
     new_cfg = dataclasses.replace(vae.cfg, int8_scales=scales)
@@ -133,19 +161,37 @@ def quantize_vae_decoder(vae, sample_tokens=None, key=None,
 
 
 def _leaf_values(leaf):
+    """Flatten a sow leaf to per-forward quantile records [n_quantiles].
+
+    Sites record ``calib_stats`` vectors; a legacy scalar record (abs-max
+    only) is broadcast so it still selects correctly at any percentile."""
+    import numpy as np
     if isinstance(leaf, (tuple, list)):
         out = []
         for v in leaf:
             out.extend(_leaf_values(v))
         return out
-    return [float(x) for x in jnp.ravel(jnp.asarray(leaf))]
+    arr = np.asarray(leaf, dtype=float).ravel()
+    nq = len(CALIB_QUANTILES)
+    if arr.size == nq:
+        return [arr]
+    return [np.full(nq, float(v)) for v in arr]
 
 
-def calibrate_int8_scales(calib_trees, n_layers: int):
+def _site_scale(records, percentile, headroom=1.0):
+    """Collapse a site's per-forward quantile records to one scale: the
+    max over forwards of the chosen quantile (abs-max when
+    percentile=None), widened by ``headroom``."""
+    idx = _stat_index(percentile)
+    return _safe_scale(max(float(r[idx]) for r in records) * headroom)
+
+
+def calibrate_int8_scales(calib_trees, n_layers: int, percentile=None):
     """Collapse one or more sowed ``CALIB_COL`` trees (from applies with
     ``mutable=[CALIB_COL]``) into the per-layer activation-scale tuple for
-    ``ClipStackConfig.int8_scales``.  Scale = max abs observed per site
-    (sites: qkv_in / out_in / fc_in / proj_in, sowed in models/clip.py).
+    ``ClipStackConfig.int8_scales``.  Scale = max over forwards of the
+    chosen |x| quantile per site (percentile=None -> abs-max; sites:
+    qkv_in / out_in / fc_in / proj_in, sowed in models/clip.py).
     """
     flat = {}
     for tree in calib_trees:
@@ -160,7 +206,7 @@ def calibrate_int8_scales(calib_trees, n_layers: int):
                 if f'blocks_{i}/' in p and p.endswith(site):
                     vals.extend(v)
             assert vals, f'no calibration record for layer {i} {site}'
-            layer.append(_safe_scale(max(vals)))
+            layer.append(_site_scale(vals, percentile))
         scales.append(tuple(layer))
     return tuple(scales)
 
@@ -171,14 +217,19 @@ def _safe_scale(v: float) -> float:
     return max(round(float(v), 4), 1e-4)
 
 
-def quantize_for_serving(model, text=None, key=None, decoder=True):
+def quantize_for_serving(model, text=None, key=None, decoder=True,
+                         percentile=None):
     """Calibrate activation scales and return a new MMVIDBert whose
     backbone (and, with ``decoder=True``, the VQGAN decoder convs) runs
     the w8a8 int8 MXU path (params shared, unchanged).
 
     Calibration forwards: the sampler's step-0 state (fully-[MASK] target)
     plus a random-token target, so both ends of the mask-predict
-    trajectory's activation range are observed.
+    trajectory's activation range are observed.  Pass REAL text batches
+    via ``text`` where available (scripts/validate_weights.py --int8
+    does) — served-distribution activations calibrate tighter scales than
+    random tokens.  ``percentile`` (None = abs-max; 99.9 / 99.99) clips
+    activation outliers for finer bulk quantization.
     """
     import dataclasses
 
@@ -209,7 +260,8 @@ def quantize_for_serving(model, text=None, key=None, decoder=True):
         _, aux = model.core.apply({'params': model.params}, text, visual,
                                   target, mutable=[CALIB_COL])
         trees.append(aux[CALIB_COL])
-    scales = calibrate_int8_scales(trees, cfg.clip.layers)
+    scales = calibrate_int8_scales(trees, cfg.clip.layers,
+                                   percentile=percentile)
     new_cfg = dataclasses.replace(
         cfg, clip=dataclasses.replace(cfg.clip, int8_scales=scales))
     vae = model.vae
@@ -224,6 +276,6 @@ def quantize_for_serving(model, text=None, key=None, decoder=True):
         frame_tokens = jnp.asarray(gen_tokens).reshape(
             -1, model.vae.image_seq_len)[:8]
         vae = quantize_vae_decoder(model.vae, sample_tokens=frame_tokens,
-                                   key=key)
+                                   key=key, percentile=percentile)
     return MMVIDBert(new_cfg, vae, cvae=model.cvae,
                      params=model.params, dtype=model.core.dtype)

@@ -69,6 +69,16 @@ def build_parser():
     p.add_argument('--no_gate', action='store_true',
                    help='report FVD without pass/fail gating (e.g. for '
                         'non-flagship checkpoints with no published number)')
+    p.add_argument('--int8', action='store_true',
+                   help='additionally run the FVD protocol through the '
+                        'w8a8 int8 serving path (ops/int8.py, calibrated '
+                        'on a real --data batch) and report the '
+                        'bf16->int8 FVD delta; the int8 run is reported, '
+                        'not gated')
+    p.add_argument('--int8_percentile', default=None,
+                   choices=['absmax', '99.9', '99.99'],
+                   help='int8 activation-scale calibration: abs-max '
+                        '(default) or percentile clipping of |x| outliers')
     p.add_argument('--allow_random_i3d', action='store_true',
                    help='CI dry-run only: random I3D weights')
     p.add_argument('--out_dir', default='validate_weights_out')
@@ -214,9 +224,41 @@ def main(argv=None):
     except Exception as e:                              # noqa: BLE001
         _fail('sample + FVD', e)
 
+    # ---- stage 8 (optional): int8 serving-path FVD ----
+    fvd_int8 = None
+    if opts.int8:
+        pct = (None if opts.int8_percentile in (None, 'absmax')
+               else float(opts.int8_percentile))
+        _stage('int8: quantize (real-data calibration batch) + FVD')
+        try:
+            if getattr(args, 'ar', False):
+                raise ValueError(
+                    '--int8 validates the BERT w8a8 serving path; the '
+                    'ART-V int8 decode measured slower than bf16 '
+                    '(ROADMAP.md) and is not the serving recommendation')
+            from mmvid_tpu.ops.int8 import quantize_for_serving
+            calib_batch = next(dl_iter)
+            import jax.numpy as jnp
+            model8 = quantize_for_serving(
+                model, text=jnp.asarray(calib_batch['text']),
+                percentile=pct)
+            args.log_metric_dir = str(Path(opts.out_dir) / 'int8')
+            Path(args.log_metric_dir).mkdir(parents=True, exist_ok=True)
+            results8 = evaluate(args, model8, dl_iter,
+                                i3d_variables=i3d_vars, metrics=('fvd',))
+            fvd_int8 = float(results8['fvd'])
+        except SystemExit:
+            raise
+        except Exception as e:                          # noqa: BLE001
+            _fail('int8 quantize + FVD', e)
+
     # ---- verdict ----
     print(f'[validate_weights] FVD = {fvd:.3f} '
           f'(published reference: {opts.expected_fvd})')
+    if fvd_int8 is not None:
+        print(f'[validate_weights] int8 FVD = {fvd_int8:.3f} '
+              f'(bf16->int8 delta {fvd_int8 - fvd:+.3f}, calibration: '
+              f'{opts.int8_percentile or "absmax"}) — reported, not gated')
     if opts.no_gate or opts.allow_random_i3d and not opts.i3d:
         print('[validate_weights] DONE (no gate applied)')
         return 0

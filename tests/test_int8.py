@@ -63,6 +63,32 @@ def test_calibration_records_all_sites():
     assert all(v > 0 for layer in scales for v in layer)
 
 
+@pytest.mark.quick
+def test_percentile_calibration_orders_and_selects():
+    """Sites record an |x| quantile vector (CALIB_QUANTILES); percentile
+    calibration picks tighter scales than abs-max (monotone in the
+    quantile) and unsupported percentiles are rejected loudly."""
+    from mmvid_tpu.models.clip import ClipStackConfig, TransformerStack
+
+    cfg = ClipStackConfig(width=64, layers=1, heads=2)
+    stack = TransformerStack(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 257, 64))
+    params = stack.init(jax.random.PRNGKey(1), x, None)['params']
+    _, aux = stack.apply({'params': params}, x, None, mutable=[CALIB_COL])
+
+    s_max = calibrate_int8_scales([aux[CALIB_COL]], 1)
+    s_999 = calibrate_int8_scales([aux[CALIB_COL]], 1, percentile=99.9)
+    s_9999 = calibrate_int8_scales([aux[CALIB_COL]], 1, percentile=99.99)
+    # quantile monotonicity at every site; with ~33k gaussian-ish values
+    # per site the 99.9% quantile sits strictly inside the max
+    for site in range(4):
+        assert s_999[0][site] <= s_9999[0][site] <= s_max[0][site]
+    assert s_999[0][0] < s_max[0][0]
+    assert all(v > 0 for v in s_999[0])
+    with pytest.raises(ValueError, match='unsupported'):
+        calibrate_int8_scales([aux[CALIB_COL]], 1, percentile=95.0)
+
+
 def test_quantized_backbone_close_to_fp_and_samples():
     from __graft_entry__ import _flagship
 

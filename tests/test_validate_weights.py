@@ -93,6 +93,35 @@ def test_validate_weights_dry_run(synthetic_ckpt, tmp_path, capsys):
     assert 'DONE (no gate applied)' in out
 
 
+@pytest.mark.parametrize('pct', [None, '99.9'])
+def test_validate_weights_int8_dry_run(synthetic_ckpt, tmp_path, capsys,
+                                       pct):
+    """--int8 runs the FVD protocol a second time through
+    quantize_for_serving (real-data calibration batch) and reports the
+    bf16->int8 delta; --int8_percentile selects percentile clipping."""
+    ckpt, data = synthetic_ckpt
+    mod = _load_script()
+    argv = ['--dalle', ckpt, '--data', data,
+            '--dataset', 'video_text',
+            '--eval_num', '2', '--batch_size', '2',
+            '--mask_predict_steps', '2',
+            '--frame_num', '2', '--frame_step', '2',
+            '--allow_random_i3d', '--no_gate', '--int8',
+            '--out_dir', str(tmp_path / 'out')]
+    if pct:
+        argv += ['--int8_percentile', pct]
+    rc = mod.main(argv)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert 'int8: quantize' in out
+    line = [l for l in out.splitlines() if 'int8 FVD =' in l]
+    assert line and 'delta' in line[0], out
+    assert f'calibration: {pct or "absmax"}' in line[0]
+    # both FVD artifacts exist, in separate dirs
+    assert (tmp_path / 'out' / 'fvd_score.txt').exists()
+    assert (tmp_path / 'out' / 'int8' / 'fvd_score.txt').exists()
+
+
 def test_validate_weights_stage_failure(tmp_path, capsys):
     """A missing checkpoint fails at its stage with a named message."""
     mod = _load_script()
