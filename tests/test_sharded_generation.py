@@ -46,3 +46,57 @@ def test_generation_dp_sharded():
     # the output batch stays sharded over dp — per-chip sampling
     assert len(videos.sharding.device_set) == 8
     assert np.asarray(seq).max() < 1024
+
+
+def test_generation_tp_sharded_matches_replicated():
+    """dp=4,tp=2 generation with a Megatron-TP-sharded backbone
+    (VERDICT r3 #6: previously certified only inside dryrun_multichip):
+    the tp-sharded program must produce the SAME tokens as the fully
+    replicated one — TP is a layout choice, not a semantic one."""
+    from mmvid_tpu.parallel.mesh import shard_params
+
+    assert len(jax.devices()) >= 8
+    vq_cfg = VQGanConfig(resolution=16, ch=32, ch_mult=(1, 2),
+                         num_res_blocks=1, z_channels=64, embed_dim=64,
+                         n_embed=1024, attn_resolutions=())
+    cfg = BertConfig(dim=64, num_text_tokens=100, text_seq_len=6,
+                     num_visuals=0, num_targets=2, num_image_tokens=1024,
+                     image_fmap_size=8, image_size=16,
+                     clip=ClipStackConfig(width=64, layers=2, heads=2))
+
+    def build():
+        vae = VQGanVAE(image_size=16, cfg=vq_cfg)
+        return MMVIDBert(cfg, vae), vae
+
+    model_rep, vae_rep = build()
+    model_tp, vae_tp = build()
+    model_tp.params = jax.device_get(model_rep.params)  # shared weights
+    vae_tp.params = jax.device_get(vae_rep.params)
+
+    mesh_rep = make_mesh('dp=8,tp=1')
+    model_rep.params = jax.device_put(model_rep.params,
+                                      replicated(mesh_rep))
+    vae_rep.params = jax.device_put(vae_rep.params, replicated(mesh_rep))
+    text = jnp.ones((8, 6), jnp.int32)
+    v_rep, s_rep = model_rep.generate_images(
+        jax.random.PRNGKey(0), jax.device_put(text,
+                                              batch_sharding(mesh_rep)),
+        mask_predict_steps=2, dynamic=False)
+
+    mesh_tp = make_mesh('dp=4,tp=2')
+    # backbone projections split over tp (column/row per _TP_RULES),
+    # everything else replicated
+    model_tp.params = shard_params(model_tp.params, mesh_tp)
+    vae_tp.params = jax.device_put(vae_tp.params, replicated(mesh_tp))
+    q_spec = model_tp.params['transformer']['blocks_0']['attn']['query'][
+        'kernel'].sharding.spec
+    assert 'tp' in str(q_spec), q_spec
+    with mesh_tp:
+        v_tp, s_tp = model_tp.generate_images(
+            jax.random.PRNGKey(0), jax.device_put(
+                text, batch_sharding(mesh_tp)),
+            mask_predict_steps=2, dynamic=False)
+
+    np.testing.assert_array_equal(np.asarray(s_tp), np.asarray(s_rep))
+    np.testing.assert_allclose(np.asarray(v_tp), np.asarray(v_rep),
+                               rtol=0, atol=2e-5)
