@@ -146,13 +146,18 @@ def ar_sample_spec(core: ArtvCore, params, text, visual_tokens, key,
     prefix_last = x[:, -1]
 
     # full-width caches with k_spec headroom: the last chunk's base is
-    # ctrl_len + n_gen - 2, so writes reach base + k_spec
+    # ctrl_len + n_gen - 2, so writes reach base + k_spec.  One [B, W, D]
+    # array per layer (flat head dim for the masked write; reshaped to
+    # heads for attention).
     W = ctrl_len + n_gen + k_spec
-    cache_k0 = jnp.zeros((n_layers, b, W, heads, hd), dt)
-    cache_v0 = jnp.zeros((n_layers, b, W, heads, hd), dt)
-    for i in range(n_layers):
-        cache_k0 = cache_k0.at[i, :, :ctrl_len].set(pre_k[i].astype(dt))
-        cache_v0 = cache_v0.at[i, :, :ctrl_len].set(pre_v[i].astype(dt))
+    caches_k0 = tuple(
+        jnp.zeros((b, W, dim), dt).at[:, :ctrl_len].set(
+            pre_k[i].reshape(b, ctrl_len, dim).astype(dt))
+        for i in range(n_layers))
+    caches_v0 = tuple(
+        jnp.zeros((b, W, dim), dt).at[:, :ctrl_len].set(
+            pre_v[i].reshape(b, ctrl_len, dim).astype(dt))
+        for i in range(n_layers))
 
     ln_p = params['to_logits_ln']
     fc_k = params['to_logits_fc']['kernel'][
@@ -163,13 +168,13 @@ def ar_sample_spec(core: ArtvCore, params, text, visual_tokens, key,
     k_img = min(k_img, cfg.num_image_tokens)
 
     def filtered_logits(hidden):
-        """[m, D] -> top-k-filtered image logits [m, V] (dalle_artv.py:
-        61-67 semantics over the only-finite image range)."""
+        """[..., D] -> top-k-filtered image logits [..., V]
+        (dalle_artv.py:61-67 semantics over the only-finite image range)."""
         h = _ln(ln_p, hidden)
         logits = (jnp.dot(h.astype(dt), fc_k,
                           preferred_element_type=jnp.float32) + fc_b)
         if k_img < cfg.num_image_tokens:
-            thresh = jnp.sort(logits, axis=-1)[:, -k_img][:, None]
+            thresh = jnp.sort(logits, axis=-1)[..., -k_img][..., None]
             logits = jnp.where(logits < thresh, -jnp.inf, logits)
         return logits
 
@@ -182,118 +187,157 @@ def ar_sample_spec(core: ArtvCore, params, text, visual_tokens, key,
     else:
         vis_draft = jnp.zeros((b, seg), jnp.int32)
 
-    # ---- per-lane speculative loop (vmapped over the batch) ----
+    # ---- manually-batched speculative loop ----
+    #
+    # NOT vmap(per-lane while_loop): once acceptance makes each lane's
+    # position data-dependent, JAX's while_loop batching rule wraps EVERY
+    # loop carry — including the ~170 MB of KV caches — in per-lane
+    # selects, and the lane-varying write offset turns the cache update
+    # into scatter+copy.  Measured on the v5e (round 4, trace_spec.py
+    # --floor): 24 cache copies at ~1.04 ms each + a 4.3 ms select fusion
+    # = ~29 of the 34.65 ms/chunk, 9x the lockstep chunk cost — which
+    # made speculation a loss at EVERY acceptance rate, since real
+    # weights always desynchronize lanes.  Here the batch is one
+    # while_loop whose carries are batched arrays: cond is any(active),
+    # cache writes are masked one-hot matmuls (uniform shape, no scatter,
+    # no carry selects), and finished lanes freeze themselves because
+    # their write masks are all-false (their chunk forward is recomputed
+    # but discarded).
     m = k_spec + 1  # chunk rows: prev committed token + k_spec drafts
+    arange_W = jnp.arange(W)
+    arange_m = jnp.arange(m)
 
-    def block_chunk(p, i, x, cache_k, cache_v, base):
-        """m-token pass through block i for ONE lane.  x [m, D] fp32;
-        cache_* [n_layers, W, heads, hd]; base = cache position of x[0].
-        Row j attends cache positions <= base + j (committed prefix +
-        intra-chunk causal); rejected-draft slots beyond the frontier are
-        invisible to committed rows by this mask."""
+    def block_chunk(p, x, ck, cv, base, active):
+        """m-token pass through one block, all lanes.  x [B, m, D] fp32;
+        ck/cv [B, W, D]; base [B] = cache position of each lane's x[:, 0].
+        Row j of lane b attends cache positions <= base[b] + j (committed
+        prefix + intra-chunk causal); rejected-draft slots beyond the
+        frontier are invisible to committed rows by this mask."""
         h = _ln(p['ln_1'], x)
-        qkv = dot(h, p['attn']['qkv'])
-        q, kk, vv = (qkv[:, :dim], qkv[:, dim:2 * dim], qkv[:, 2 * dim:])
-        cache_k = jax.lax.dynamic_update_slice(
-            cache_k, kk.reshape(1, m, heads, hd).astype(dt),
-            (i, base, 0, 0))
-        cache_v = jax.lax.dynamic_update_slice(
-            cache_v, vv.reshape(1, m, heads, hd).astype(dt),
-            (i, base, 0, 0))
-        q = q.reshape(m, heads, hd)
-        logits = jnp.einsum('mhd,lhd->mhl', q.astype(dt), cache_k[i],
+        qkv = dot(h, p['attn']['qkv'])              # [B, m, 3D] fp32
+        q = qkv[..., :dim]
+        kk = qkv[..., dim:2 * dim]
+        vv = qkv[..., 2 * dim:]
+        # masked one-hot write: onehot[b, w, j] = (w == base[b]+j) and
+        # lane b still active — a [B,W,m]x[B,m,D] matmul plus a where,
+        # instead of a lane-varying-offset scatter
+        onehot = ((arange_W[None, :, None] - base[:, None, None]
+                   == arange_m[None, None, :])
+                  & active[:, None, None]).astype(dt)
+        in_win = ((arange_W[None] >= base[:, None])
+                  & (arange_W[None] < base[:, None] + m)
+                  & active[:, None])                # [B, W]
+        upd_k = jnp.einsum('bwj,bjd->bwd', onehot, kk.astype(dt))
+        upd_v = jnp.einsum('bwj,bjd->bwd', onehot, vv.astype(dt))
+        ck = jnp.where(in_win[..., None], upd_k, ck)
+        cv = jnp.where(in_win[..., None], upd_v, cv)
+        qh = q.reshape(b, m, heads, hd)
+        logits = jnp.einsum('bmhd,bwhd->bhmw', qh.astype(dt),
+                            ck.reshape(b, W, heads, hd),
                             preferred_element_type=jnp.float32)
         logits = logits * (hd ** -0.5)
-        valid = (jnp.arange(W)[None, None, :]
-                 <= base + jnp.arange(m)[:, None, None])
+        valid = (arange_W[None, None, None, :]
+                 <= base[:, None, None, None]
+                 + arange_m[None, None, :, None])   # [B, 1, m, W]
         logits = jnp.where(valid, logits, -1e9)
         attn = jax.nn.softmax(logits, axis=-1)
-        o = jnp.einsum('mhl,lhd->mhd', attn.astype(dt), cache_v[i],
-                       preferred_element_type=jnp.float32).reshape(m, -1)
+        o = jnp.einsum('bhmw,bwhd->bmhd', attn.astype(dt),
+                       cv.reshape(b, W, heads, hd),
+                       preferred_element_type=jnp.float32
+                       ).reshape(b, m, dim)
         o = dot(o, p['attn']['out'])
         x = x + o
         h = _ln(p['ln_2'], x)
         h = dot(h, p['mlp']['fc'])
         h = h * jax.nn.sigmoid(1.702 * h)
         h = dot(h, p['mlp']['proj'])
-        return x + h, cache_k, cache_v
+        return x + h, ck, cv
 
-    def decode_lane(cache_k, cache_v, tok0, vis_draft_lane, key):
-        """One lane's speculative rollout.  out is padded by m so the
-        fixed-width chunk commit never clamps its write start."""
-        out0 = jnp.zeros((n_gen + m,), jnp.int32).at[0].set(tok0)
+    def cond(c):
+        return jnp.any(c[4] < n_gen)
 
-        def cond(c):
-            return c[4] < n_gen
+    def body(c):
+        caches_k, caches_v, out, prev, pos, key, steps = c
+        active = pos < n_gen                         # [B]
+        base = ctrl_len + pos - 1                    # [B]
 
-        def body(c):
-            cache_k, cache_v, out, prev, pos, key, steps = c
-            base = ctrl_len + pos - 1
+        # drafts for target positions pos..pos+k_spec-1
+        dpos = pos[:, None] + jnp.arange(k_spec)[None]        # [B, k]
+        from_prev = jnp.take_along_axis(
+            out, jnp.clip(dpos - seg, 0, n_gen - 1), axis=1)
+        from_vis = jnp.take_along_axis(
+            vis_draft, jnp.clip(dpos, 0, seg - 1), axis=1)
+        drafts = jnp.where(dpos >= seg, from_prev, from_vis)  # [B, k]
 
-            # drafts for target positions pos..pos+k_spec-1
-            dpos = pos + jnp.arange(k_spec)
-            prev_frame = jnp.where(dpos >= seg,
-                                   out[jnp.clip(dpos - seg, 0, n_gen - 1)],
-                                   vis_draft_lane[jnp.clip(dpos, 0,
-                                                           seg - 1)])
-            drafts = prev_frame                       # [k_spec]
+        toks = jnp.concatenate([prev[:, None], drafts], axis=1)   # [B, m]
+        rows = jnp.clip(pos[:, None] - 1 + arange_m[None], 0, n_gen - 1)
+        x = (image_emb_table[toks] + pos_emb_full[rows]
+             ).astype(jnp.float32)
+        new_k, new_v = [], []
+        for i in range(n_layers):
+            x, ck, cv = block_chunk(dec_blocks[i], x, caches_k[i],
+                                    caches_v[i], base, active)
+            new_k.append(ck)
+            new_v.append(cv)
+        logits = filtered_logits(x)                  # [B, m, V]
 
-            toks = jnp.concatenate([prev[None], drafts])     # [m]
-            rows = jnp.clip(pos - 1 + jnp.arange(m), 0, n_gen - 1)
-            x = (image_emb_table[toks] + pos_emb_full[rows]
-                 ).astype(jnp.float32)
-            for i in range(n_layers):
-                x, cache_k, cache_v = block_chunk(dec_blocks[i], i, x,
-                                                  cache_k, cache_v, base)
-            logits = filtered_logits(x)               # [m, V]
+        # sequential point-mass rejection sampling per lane: accept
+        # draft i with prob p_i(d_i); j = first rejection (k_spec if
+        # none)
+        key, k_acc, k_new = jax.random.split(key, 3)
+        logp = jax.nn.log_softmax(logits / temperature, axis=-1)
+        p_draft = jnp.take_along_axis(
+            jnp.exp(logp[:, :k_spec]), drafts[..., None], axis=-1
+        )[..., 0]                                    # [B, k]
+        if force:
+            acc = jnp.ones((b, k_spec), bool)
+        else:
+            u = jax.random.uniform(k_acc, (b, k_spec))
+            acc = u < p_draft
+        rej = jnp.concatenate([~acc, jnp.ones((b, 1), bool)], axis=1)
+        j = jnp.argmax(rej, axis=1)                  # [B] in [0, k_spec]
 
-            # sequential point-mass rejection sampling: accept draft i
-            # with prob p_i(d_i); j = first rejection (k_spec if none)
-            key, k_acc, k_new = jax.random.split(key, 3)
-            logp = jax.nn.log_softmax(logits / temperature, axis=-1)
-            p_draft = jnp.exp(logp[jnp.arange(k_spec), drafts])  # [k_spec]
-            u = jax.random.uniform(k_acc, (k_spec,))
-            acc = (u < p_draft) if not force else jnp.ones(
-                (k_spec,), bool)
-            rej = jnp.concatenate([~acc, jnp.ones((1,), bool)])
-            j = jnp.argmax(rej)                       # in [0, k_spec]
+        # replacement token: residual (draft masked) on rejection,
+        # bonus row on full acceptance (logits[:, j] is that row either
+        # way)
+        sel = jnp.take_along_axis(
+            logits, j[:, None, None], axis=1)[:, 0]  # [B, V]
+        d_at_j = jnp.take_along_axis(
+            drafts, jnp.minimum(j, k_spec - 1)[:, None], axis=1)  # [B, 1]
+        vocab_ids = jnp.arange(logits.shape[-1])[None]
+        res = jnp.where(vocab_ids == d_at_j, -jnp.inf, sel)
+        new_from = jnp.where((j < k_spec)[:, None], res, sel)
+        new_tok = jax.random.categorical(
+            k_new, new_from / temperature, axis=-1).astype(jnp.int32)
 
-            # replacement token: residual (draft masked) on rejection,
-            # bonus row on full acceptance
-            res_logits = logits[j].at[drafts[jnp.minimum(
-                j, k_spec - 1)]].set(-jnp.inf)
-            new_from = jnp.where(j < k_spec, res_logits, logits[k_spec])
-            new_tok = jax.random.categorical(
-                k_new, new_from / temperature).astype(jnp.int32)
+        cand = jnp.concatenate(
+            [drafts, jnp.zeros((b, 1), jnp.int32)], axis=1)       # [B, m]
+        cand = jnp.where(arange_m[None] == j[:, None],
+                         new_tok[:, None], cand)     # j drafts + new
+        ncommit = jnp.where(active,
+                            jnp.minimum(j + 1, n_gen - pos), 0)   # [B]
 
-            cand = jnp.concatenate([drafts, jnp.zeros((1,), jnp.int32)])
-            cand = cand.at[j].set(new_tok)            # [m]: j drafts + new
-            ncommit = jnp.minimum(j + 1, n_gen - pos)
-
-            # write the m-window at pos; entries beyond ncommit land past
-            # the frontier and are re-committed by later iterations
-            window = jax.lax.dynamic_slice(out, (pos,), (m,))
-            keep = jnp.arange(m) < ncommit
-            out = jax.lax.dynamic_update_slice(
-                out, jnp.where(keep, cand, window), (pos,))
-            prev = cand[jnp.maximum(ncommit - 1, 0)]
-            return (cache_k, cache_v, out, prev, pos + ncommit, key,
-                    steps + 1)
-
-        c = (cache_k, cache_v, out0, tok0, jnp.int32(1), key,
-             jnp.int32(0))
-        c = jax.lax.while_loop(cond, body, c)
-        return c[2][:n_gen], c[6]
+        # masked write of each lane's committed window into out
+        rel = jnp.arange(n_gen + m)[None] - pos[:, None]          # [B, NW]
+        in_out = (rel >= 0) & (rel < ncommit[:, None])
+        gathered = jnp.take_along_axis(cand, jnp.clip(rel, 0, m - 1),
+                                       axis=1)
+        out = jnp.where(in_out, gathered, out)
+        prev_new = jnp.take_along_axis(
+            cand, jnp.maximum(ncommit - 1, 0)[:, None], axis=1)[:, 0]
+        prev = jnp.where(active, prev_new, prev)
+        return (tuple(new_k), tuple(new_v), out, prev, pos + ncommit,
+                key, steps + active.astype(jnp.int32))
 
     key, k0 = jax.random.split(key)
     logits0 = filtered_logits(prefix_last)
     tok0 = jax.random.categorical(k0, logits0 / temperature,
                                   axis=-1).astype(jnp.int32)
 
-    lane_keys = jax.random.split(key, b)
-    cache_k_b = jnp.moveaxis(cache_k0, 1, 0)          # [B, n_layers, ...]
-    cache_v_b = jnp.moveaxis(cache_v0, 1, 0)
-
-    out, steps = jax.vmap(decode_lane)(cache_k_b, cache_v_b, tok0,
-                                       vis_draft, lane_keys)
-    return out.astype(jnp.int32), steps
+    # out is padded by m so the fixed-width chunk commit never clamps
+    # its write start
+    out0 = jnp.zeros((b, n_gen + m), jnp.int32).at[:, 0].set(tok0)
+    c = (caches_k0, caches_v0, out0, tok0,
+         jnp.ones((b,), jnp.int32), key, jnp.zeros((b,), jnp.int32))
+    c = jax.lax.while_loop(cond, body, c)
+    return c[2][:, :n_gen].astype(jnp.int32), c[6]

@@ -30,22 +30,28 @@ def print_top_leaf_spans(trace_dir, top_n=25):
     for e in spans:
         by_tid.setdefault((e['pid'], e['tid']), []).append(e)
     totals, counts = {}, {}
+
+    def emit(rec):
+        if not rec[2]:  # leaf: no nested span was pushed under it
+            name = rec[1][:90]
+            totals[name] = totals.get(name, 0) + rec[3]
+            counts[name] = counts.get(name, 0) + 1
+
+    # O(n) nesting-stack sweep (spans within a tid nest properly); the
+    # previous per-span forward scan was quadratic and took hours on
+    # long while_loop traces (511-iteration spec-decode floor run).
     for lane in by_tid.values():
         lane.sort(key=lambda e: (e['ts'], -e['dur']))
-        for i, e in enumerate(lane):
-            end = e['ts'] + e['dur']
-            has_child = False
-            for o in lane[i + 1:]:
-                if o['ts'] >= end:
-                    break
-                if o['ts'] >= e['ts'] and o['ts'] + o['dur'] <= end \
-                        and o is not e:
-                    has_child = True
-                    break
-            if not has_child:
-                name = e['name'][:90]
-                totals[name] = totals.get(name, 0) + e['dur']
-                counts[name] = counts.get(name, 0) + 1
+        stack = []  # [end_ts, name, has_child, dur]
+        for e in lane:
+            ts = e['ts']
+            while stack and stack[-1][0] <= ts:
+                emit(stack.pop())
+            if stack:
+                stack[-1][2] = True
+            stack.append([ts + e['dur'], e['name'], False, e['dur']])
+        while stack:
+            emit(stack.pop())
     top = sorted(totals.items(), key=lambda kv: -kv[1])[:top_n]
     grand = sum(totals.values())
     print(json.dumps({'total_device_ms': round(grand / 1e3, 1)}))
