@@ -1,10 +1,12 @@
 """Device trace of the speculative ART-V decode (MMVID_ARTV_SPEC=k) —
-top leaf spans over one FORCE-mode sample, to locate the chunk's fixed
-cost (measured round 4: a (k+1)-row chunk costs ~3.3-3.8x the baseline
-1-token step, so the ceiling is ~2.3x instead of (k+1)x).  Suspects:
-the per-lane batched cache scatters (lane-varying `base` turns
-dynamic_update_slice into scatter) and the full-width W cache reads
-(no windowed segment growth on the spec path).
+top leaf spans over one sample, to locate the chunk's fixed cost.
+Round-4 history: the `--floor` trace of the original vmapped per-lane
+design showed 24 per-chunk cache copies (~1.04 ms each) + a 4.3 ms
+select fusion from the while_loop batching rule — which motivated the
+manually-batched rewrite in models/artv_spec.py (floor chunk now
+~1.8-1.9x a baseline token step; remaining fixed cost is the
+full-width W cache reads, which cannot window because lane positions
+desynchronize).
 
 Usage: python scripts/trace_spec.py [spec_k] [batch] [trace_dir]
 (sets MMVID_ARTV_SPEC/-FORCE itself; FORCE keeps every lane in
