@@ -206,6 +206,17 @@ def ar_sample_spec(core: ArtvCore, params, text, visual_tokens, key,
     m = k_spec + 1  # chunk rows: prev committed token + k_spec drafts
     arange_W = jnp.arange(W)
     arange_m = jnp.arange(m)
+    arange_b = jnp.arange(b)
+    # Cache-write strategy (trace-time env knob, keyed into the gen
+    # cache by artv.py): default is a row scatter of the m new K/V rows
+    # (`.at[lane, base+j].set`, inactive lanes dropped via an OOB row) —
+    # XLA keeps it in place on the loop carry, so each chunk writes only
+    # B*m rows.  MMVID_SPEC_SCATTER=0 selects the masked one-hot matmul
+    # + full-cache select variant instead, which rewrites the whole
+    # [B, W, D] cache per layer per chunk.  A/B'd on the v5e (k=8, b16):
+    # scatter floor 117.8 vs 90.5 f/s, ceiling 631.3 vs 501.5 — scatter
+    # wins both ends, so it is the default (ROADMAP round-4).
+    scatter = _os.environ.get('MMVID_SPEC_SCATTER', '1') == '1'
 
     def block_chunk(p, x, ck, cv, base, active):
         """m-token pass through one block, all lanes.  x [B, m, D] fp32;
@@ -218,19 +229,28 @@ def ar_sample_spec(core: ArtvCore, params, text, visual_tokens, key,
         q = qkv[..., :dim]
         kk = qkv[..., dim:2 * dim]
         vv = qkv[..., 2 * dim:]
-        # masked one-hot write: onehot[b, w, j] = (w == base[b]+j) and
-        # lane b still active — a [B,W,m]x[B,m,D] matmul plus a where,
-        # instead of a lane-varying-offset scatter
-        onehot = ((arange_W[None, :, None] - base[:, None, None]
-                   == arange_m[None, None, :])
-                  & active[:, None, None]).astype(dt)
-        in_win = ((arange_W[None] >= base[:, None])
-                  & (arange_W[None] < base[:, None] + m)
-                  & active[:, None])                # [B, W]
-        upd_k = jnp.einsum('bwj,bjd->bwd', onehot, kk.astype(dt))
-        upd_v = jnp.einsum('bwj,bjd->bwd', onehot, vv.astype(dt))
-        ck = jnp.where(in_win[..., None], upd_k, ck)
-        cv = jnp.where(in_win[..., None], upd_v, cv)
+        if scatter:
+            # row scatter: inactive lanes aim at row W, dropped by mode
+            rows_w = jnp.where(active[:, None],
+                               base[:, None] + arange_m[None], W)  # [B, m]
+            ck = ck.at[arange_b[:, None], rows_w].set(
+                kk.astype(dt), mode='drop', unique_indices=True)
+            cv = cv.at[arange_b[:, None], rows_w].set(
+                vv.astype(dt), mode='drop', unique_indices=True)
+        else:
+            # masked one-hot write: onehot[b, w, j] = (w == base[b]+j) and
+            # lane b still active — a [B,W,m]x[B,m,D] matmul plus a where,
+            # instead of a lane-varying-offset scatter
+            onehot = ((arange_W[None, :, None] - base[:, None, None]
+                       == arange_m[None, None, :])
+                      & active[:, None, None]).astype(dt)
+            in_win = ((arange_W[None] >= base[:, None])
+                      & (arange_W[None] < base[:, None] + m)
+                      & active[:, None])                # [B, W]
+            upd_k = jnp.einsum('bwj,bjd->bwd', onehot, kk.astype(dt))
+            upd_v = jnp.einsum('bwj,bjd->bwd', onehot, vv.astype(dt))
+            ck = jnp.where(in_win[..., None], upd_k, ck)
+            cv = jnp.where(in_win[..., None], upd_v, cv)
         qh = q.reshape(b, m, heads, hd)
         logits = jnp.einsum('bmhd,bwhd->bhmw', qh.astype(dt),
                             ck.reshape(b, W, heads, hd),

@@ -80,6 +80,22 @@ def test_spec_env_opt_in_routes_ar_sample(setup, monkeypatch):
     np.testing.assert_array_equal(t_spec, t_base)
 
 
+def test_spec_scatter_write_identical(setup, monkeypatch):
+    """MMVID_SPEC_SCATTER=1 (row-scatter cache writes instead of the
+    masked one-hot matmul + select) is a pure layout change: tokens and
+    per-lane step counts are bit-identical at sampling temperature."""
+    core, params, text, visual = setup
+    t0, s0 = ar_sample_spec(core, params, text, visual,
+                            jax.random.PRNGKey(11), spec_k=4,
+                            temperature=1.0)
+    monkeypatch.setenv('MMVID_SPEC_SCATTER', '1')
+    t1, s1 = ar_sample_spec(core, params, text, visual,
+                            jax.random.PRNGKey(11), spec_k=4,
+                            temperature=1.0)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+
+
 @pytest.mark.slow
 def test_spec_distribution_preserved():
     """T=1 sampling: 800 speculative vs 800 baseline trajectories on a
