@@ -300,7 +300,8 @@ class ArtvModel:
             _os.environ.get(k, '') for k in
             ('MMVID_ARTV_WINDOW', 'MMVID_ARTV_FUSED', 'MMVID_ARTV_FLAT',
              'MMVID_ARTV_INT8_WEIGHTS_ONLY', 'MMVID_ARTV_SPEC',
-             'MMVID_ARTV_SPEC_FORCE', 'MMVID_SPEC_SCATTER'))
+             'MMVID_ARTV_SPEC_FORCE', 'MMVID_SPEC_SCATTER',
+             'MMVID_SPEC_WINDOW'))
         statics = (visual is not None,
                    visual.ndim if visual is not None else 0,
                    filter_thres, temperature, decode, int8, spec_stats,

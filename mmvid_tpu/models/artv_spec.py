@@ -145,17 +145,44 @@ def ar_sample_spec(core: ArtvCore, params, text, visual_tokens, key,
         pre_v.append(v)
     prefix_last = x[:, -1]
 
-    # full-width caches with k_spec headroom: the last chunk's base is
-    # ctrl_len + n_gen - 2, so writes reach base + k_spec.  One [B, W, D]
-    # array per layer (flat head dim for the masked write; reshaped to
-    # heads for attention).
-    W = ctrl_len + n_gen + k_spec
+    # Windowed chunk caches (MMVID_SPEC_WINDOW, trace-time, default on):
+    # the chunk attention streams every cache row each chunk, so a
+    # full-width [B, ctrl+n_gen+k, D] cache pays for dead rows all run
+    # long.  Generation is split into per-frame segments: segment f runs
+    # its own while_loop over caches sized ctrl_len + (f+1)*seg + k_spec
+    # (grown by jnp.pad between segments), cutting the streamed width to
+    # the live window (mean ~0.6x at flagship shapes, same lever as
+    # ar_sample's windowed scan, ROADMAP round-3).  Lanes that cross a
+    # segment's stop idle (all-false write masks) until the laggards
+    # catch up; commits are never discarded, so the chunk/pos trajectory
+    # of each lane is unchanged — per-lane step counts and FORCE-mode
+    # chunk counts are identical to the unwindowed path, and greedy
+    # trajectories match bitwise (sampled runs differ only through the
+    # key stream when idle iterations are inserted; b=1 is bitwise too).
+    # MMVID_SPEC_WINDOW=0 restores the single full-width loop.  Measured
+    # (v5e, k=8, b16/b64): windowed floor 133.8/146.7 vs full-width
+    # 119.4/124.2 f/s, ceiling 647.5/749.3 vs 602.4/692.3 — windowing
+    # wins both ends (ROADMAP round-5).
+    window = _os.environ.get('MMVID_SPEC_WINDOW', '1') == '1'
+    if window:
+        stops = [min((f + 1) * seg, n_gen)
+                 for f in range(-(-n_gen // seg))]
+    else:
+        stops = [n_gen]
+
+    def cache_width(stop):
+        # active lanes have pos <= stop-1 entering a chunk and may have
+        # overshot the PREVIOUS stop by up to k_spec; writes reach
+        # base + k_spec = ctrl_len + pos - 1 + k_spec
+        return ctrl_len + stop + k_spec
+
+    W0 = cache_width(stops[0])
     caches_k0 = tuple(
-        jnp.zeros((b, W, dim), dt).at[:, :ctrl_len].set(
+        jnp.zeros((b, W0, dim), dt).at[:, :ctrl_len].set(
             pre_k[i].reshape(b, ctrl_len, dim).astype(dt))
         for i in range(n_layers))
     caches_v0 = tuple(
-        jnp.zeros((b, W, dim), dt).at[:, :ctrl_len].set(
+        jnp.zeros((b, W0, dim), dt).at[:, :ctrl_len].set(
             pre_v[i].reshape(b, ctrl_len, dim).astype(dt))
         for i in range(n_layers))
 
@@ -204,7 +231,6 @@ def ar_sample_spec(core: ArtvCore, params, text, visual_tokens, key,
     # their write masks are all-false (their chunk forward is recomputed
     # but discarded).
     m = k_spec + 1  # chunk rows: prev committed token + k_spec drafts
-    arange_W = jnp.arange(W)
     arange_m = jnp.arange(m)
     arange_b = jnp.arange(b)
     # Cache-write strategy (trace-time env knob, keyed into the gen
@@ -213,74 +239,95 @@ def ar_sample_spec(core: ArtvCore, params, text, visual_tokens, key,
     # XLA keeps it in place on the loop carry, so each chunk writes only
     # B*m rows.  MMVID_SPEC_SCATTER=0 selects the masked one-hot matmul
     # + full-cache select variant instead, which rewrites the whole
-    # [B, W, D] cache per layer per chunk.  A/B'd on the v5e (k=8, b16):
-    # scatter floor 117.8 vs 90.5 f/s, ceiling 631.3 vs 501.5 — scatter
-    # wins both ends, so it is the default (ROADMAP round-4).
+    # [B, W, D] cache per layer per chunk.  A/B'd clean on the v5e
+    # (k=8, b16, full-width caches): scatter floor 119.4 / ceiling
+    # 602.4 f/s vs one-hot 90.6 / 522.3 — scatter wins both ends
+    # (+32% / +15%), so it is the default; full matrix in ROADMAP
+    # round-5.
     scatter = _os.environ.get('MMVID_SPEC_SCATTER', '1') == '1'
 
-    def block_chunk(p, x, ck, cv, base, active):
-        """m-token pass through one block, all lanes.  x [B, m, D] fp32;
-        ck/cv [B, W, D]; base [B] = cache position of each lane's x[:, 0].
-        Row j of lane b attends cache positions <= base[b] + j (committed
-        prefix + intra-chunk causal); rejected-draft slots beyond the
-        frontier are invisible to committed rows by this mask."""
-        h = _ln(p['ln_1'], x)
-        qkv = dot(h, p['attn']['qkv'])              # [B, m, 3D] fp32
-        q = qkv[..., :dim]
-        kk = qkv[..., dim:2 * dim]
-        vv = qkv[..., 2 * dim:]
-        if scatter:
-            # row scatter: inactive lanes aim at row W, dropped by mode
-            rows_w = jnp.where(active[:, None],
-                               base[:, None] + arange_m[None], W)  # [B, m]
-            ck = ck.at[arange_b[:, None], rows_w].set(
-                kk.astype(dt), mode='drop', unique_indices=True)
-            cv = cv.at[arange_b[:, None], rows_w].set(
-                vv.astype(dt), mode='drop', unique_indices=True)
-        else:
-            # masked one-hot write: onehot[b, w, j] = (w == base[b]+j) and
-            # lane b still active — a [B,W,m]x[B,m,D] matmul plus a where,
-            # instead of a lane-varying-offset scatter
-            onehot = ((arange_W[None, :, None] - base[:, None, None]
-                       == arange_m[None, None, :])
-                      & active[:, None, None]).astype(dt)
-            in_win = ((arange_W[None] >= base[:, None])
-                      & (arange_W[None] < base[:, None] + m)
-                      & active[:, None])                # [B, W]
-            upd_k = jnp.einsum('bwj,bjd->bwd', onehot, kk.astype(dt))
-            upd_v = jnp.einsum('bwj,bjd->bwd', onehot, vv.astype(dt))
-            ck = jnp.where(in_win[..., None], upd_k, ck)
-            cv = jnp.where(in_win[..., None], upd_v, cv)
-        qh = q.reshape(b, m, heads, hd)
-        logits = jnp.einsum('bmhd,bwhd->bhmw', qh.astype(dt),
-                            ck.reshape(b, W, heads, hd),
-                            preferred_element_type=jnp.float32)
-        logits = logits * (hd ** -0.5)
-        valid = (arange_W[None, None, None, :]
-                 <= base[:, None, None, None]
-                 + arange_m[None, None, :, None])   # [B, 1, m, W]
-        logits = jnp.where(valid, logits, -1e9)
-        attn = jax.nn.softmax(logits, axis=-1)
-        o = jnp.einsum('bhmw,bwhd->bmhd', attn.astype(dt),
-                       cv.reshape(b, W, heads, hd),
-                       preferred_element_type=jnp.float32
-                       ).reshape(b, m, dim)
-        o = dot(o, p['attn']['out'])
-        x = x + o
-        h = _ln(p['ln_2'], x)
-        h = dot(h, p['mlp']['fc'])
-        h = h * jax.nn.sigmoid(1.702 * h)
-        h = dot(h, p['mlp']['proj'])
-        return x + h, ck, cv
+    def make_block_chunk(W, arange_W):
+        def block_chunk(p, x, ck, cv, base, active):
+            """m-token pass through one block, all lanes.  x [B, m, D]
+            fp32; ck/cv [B, W, D]; base [B] = cache position of each
+            lane's x[:, 0].  Row j of lane b attends cache positions <=
+            base[b] + j (committed prefix + intra-chunk causal);
+            rejected-draft slots beyond the frontier are invisible to
+            committed rows by this mask."""
+            h = _ln(p['ln_1'], x)
+            qkv = dot(h, p['attn']['qkv'])              # [B, m, 3D] fp32
+            q = qkv[..., :dim]
+            kk = qkv[..., dim:2 * dim]
+            vv = qkv[..., 2 * dim:]
+            if scatter:
+                # row scatter: inactive lanes aim at rows >= W, dropped
+                # by mode='drop' (W + arange_m keeps the index tuples
+                # unique even for dropped lanes — duplicate indices under
+                # unique_indices=True are implementation-defined)
+                rows_w = jnp.where(active[:, None],
+                                   base[:, None] + arange_m[None],
+                                   W + arange_m[None])  # [B, m]
+                ck = ck.at[arange_b[:, None], rows_w].set(
+                    kk.astype(dt), mode='drop', unique_indices=True)
+                cv = cv.at[arange_b[:, None], rows_w].set(
+                    vv.astype(dt), mode='drop', unique_indices=True)
+            else:
+                # masked one-hot write: onehot[b, w, j] = (w == base[b]+j)
+                # and lane b still active — a [B,W,m]x[B,m,D] matmul plus
+                # a where, instead of a lane-varying-offset scatter
+                onehot = ((arange_W[None, :, None] - base[:, None, None]
+                           == arange_m[None, None, :])
+                          & active[:, None, None]).astype(dt)
+                in_win = ((arange_W[None] >= base[:, None])
+                          & (arange_W[None] < base[:, None] + m)
+                          & active[:, None])                # [B, W]
+                upd_k = jnp.einsum('bwj,bjd->bwd', onehot, kk.astype(dt))
+                upd_v = jnp.einsum('bwj,bjd->bwd', onehot, vv.astype(dt))
+                ck = jnp.where(in_win[..., None], upd_k, ck)
+                cv = jnp.where(in_win[..., None], upd_v, cv)
+            qh = q.reshape(b, m, heads, hd)
+            logits = jnp.einsum('bmhd,bwhd->bhmw', qh.astype(dt),
+                                ck.reshape(b, W, heads, hd),
+                                preferred_element_type=jnp.float32)
+            logits = logits * (hd ** -0.5)
+            valid = (arange_W[None, None, None, :]
+                     <= base[:, None, None, None]
+                     + arange_m[None, None, :, None])   # [B, 1, m, W]
+            logits = jnp.where(valid, logits, -1e9)
+            attn = jax.nn.softmax(logits, axis=-1)
+            o = jnp.einsum('bhmw,bwhd->bmhd', attn.astype(dt),
+                           cv.reshape(b, W, heads, hd),
+                           preferred_element_type=jnp.float32
+                           ).reshape(b, m, dim)
+            o = dot(o, p['attn']['out'])
+            x = x + o
+            h = _ln(p['ln_2'], x)
+            h = dot(h, p['mlp']['fc'])
+            h = h * jax.nn.sigmoid(1.702 * h)
+            h = dot(h, p['mlp']['proj'])
+            return x + h, ck, cv
+        return block_chunk
 
-    def cond(c):
-        return jnp.any(c[4] < n_gen)
+    def make_segment(stop, W):
+        """(cond, body) for one segment's while_loop: lanes run while
+        pos < stop; lanes at/beyond stop idle (all-false write masks,
+        ncommit 0) until the laggards arrive, so commits are never
+        discarded at segment boundaries."""
+        block_chunk = make_block_chunk(W, jnp.arange(W))
 
-    def body(c):
-        caches_k, caches_v, out, prev, pos, key, steps = c
-        active = pos < n_gen                         # [B]
-        base = ctrl_len + pos - 1                    # [B]
+        def cond(c):
+            return jnp.any(c[4] < stop)
 
+        def body(c):
+            caches_k, caches_v, out, prev, pos, key, steps = c
+            active = pos < stop                      # [B]
+            base = ctrl_len + pos - 1                # [B]
+            return _chunk_step(block_chunk, caches_k, caches_v, out, prev,
+                               pos, key, steps, active, base)
+        return cond, body
+
+    def _chunk_step(block_chunk, caches_k, caches_v, out, prev, pos, key,
+                    steps, active, base):
         # drafts for target positions pos..pos+k_spec-1
         dpos = pos[:, None] + jnp.arange(k_spec)[None]        # [B, k]
         from_prev = jnp.take_along_axis(
@@ -359,5 +406,16 @@ def ar_sample_spec(core: ArtvCore, params, text, visual_tokens, key,
     out0 = jnp.zeros((b, n_gen + m), jnp.int32).at[:, 0].set(tok0)
     c = (caches_k0, caches_v0, out0, tok0,
          jnp.ones((b,), jnp.int32), key, jnp.zeros((b,), jnp.int32))
-    c = jax.lax.while_loop(cond, body, c)
+    for stop in stops:
+        W = cache_width(stop)
+        grow = W - c[0][0].shape[1]
+        if grow > 0:
+            # grow the caches to the next segment's live width: a once-
+            # per-segment copy, amortized over the segment's chunks
+            c = (tuple(jnp.pad(ck, ((0, 0), (0, grow), (0, 0)))
+                       for ck in c[0]),
+                 tuple(jnp.pad(cv, ((0, 0), (0, grow), (0, 0)))
+                       for cv in c[1])) + c[2:]
+        cond, body = make_segment(stop, W)
+        c = jax.lax.while_loop(cond, body, c)
     return c[2][:, :n_gen].astype(jnp.int32), c[6]

@@ -30,6 +30,13 @@ import sys
 from pathlib import Path
 
 
+# spec-decode enable threshold: chunk_ms / token_ms from the round-5
+# v5e floor measurement, at the CONSERVATIVE end (b64; b16 is lower:
+# 1.07 / 1.27) — speculative decode wins iff the realised
+# tokens-per-chunk exceeds this (ROADMAP round-5)
+SPEC_BREAK_EVEN = {4: 1.3, 8: 1.5}
+
+
 def _stage(name):
     print(f'[validate_weights] stage: {name}', flush=True)
 
@@ -79,6 +86,14 @@ def build_parser():
                    choices=['absmax', '99.9', '99.99'],
                    help='int8 activation-scale calibration: abs-max '
                         '(default) or percentile clipping of |x| outliers')
+    p.add_argument('--spec', type=int, default=0, metavar='K',
+                   help='(ART-V checkpoints) probe the exact speculative '
+                        'decode on the real weights: check greedy '
+                        'spec-vs-baseline token equality on one batch, '
+                        'measure the realised acceptance (tokens/chunk) '
+                        'at serving temperature, and print the '
+                        'enable/disable recommendation against the '
+                        'measured break-even (ROADMAP round-5)')
     p.add_argument('--allow_random_i3d', action='store_true',
                    help='CI dry-run only: random I3D weights')
     p.add_argument('--out_dir', default='validate_weights_out')
@@ -223,6 +238,60 @@ def main(argv=None):
         raise
     except Exception as e:                              # noqa: BLE001
         _fail('sample + FVD', e)
+
+    # ---- stage 7b (optional): ART-V speculative-decode probe ----
+    if opts.spec:
+        _stage(f'spec probe: --spec {opts.spec} greedy parity + acceptance')
+        try:
+            if not getattr(args, 'ar', False):
+                raise ValueError(
+                    '--spec probes the ART-V (autoregressive) decode; this '
+                    'checkpoint is the BERT mask-predict model')
+            import os as _os
+
+            import jax
+            import jax.numpy as jnp
+            import numpy as np
+
+            batch = next(dl_iter)
+            text = jnp.asarray(batch['text'])
+            visual = (jnp.asarray(batch['visual'])
+                      if model.cfg.num_visuals > 0 and 'visual' in batch
+                      else None)
+            key = jax.random.PRNGKey(args.seed)
+            # greedy exactness on THESE weights: spec and baseline decode
+            # must be token-identical at T->0 (tests prove it on synthetic
+            # weights; this reruns the check on the released ones)
+            _os.environ['MMVID_ARTV_SPEC'] = str(opts.spec)
+            _, seq_spec, _ = model.generate_images(
+                key, text, visual=visual, decode=False, spec_stats=True,
+                temperature=1e-6)
+            # acceptance at the serving temperature (T=1): the number the
+            # docs' enable-iff rule needs
+            _, _, steps = model.generate_images(
+                key, text, visual=visual, decode=False, spec_stats=True,
+                temperature=1.0)
+            del _os.environ['MMVID_ARTV_SPEC']
+            _, seq_base, _ = model.generate_images(
+                key, text, visual=visual, decode=False, spec_stats=True,
+                temperature=1e-6)
+            if not np.array_equal(np.asarray(seq_spec),
+                                  np.asarray(seq_base)):
+                raise ValueError(
+                    'greedy speculative tokens differ from the baseline '
+                    'decode — exactness violated on these weights')
+            tpc = float(((model.cfg.target_seq_len - 1)
+                         / np.maximum(np.asarray(steps), 1)).mean())
+            be = SPEC_BREAK_EVEN.get(opts.spec, SPEC_BREAK_EVEN[8])
+            rec = (f'ENABLE --spec {opts.spec} for serving'
+                   if tpc >= be else f'keep --spec OFF (< {be})')
+            print(f'  greedy spec == baseline: OK; realised acceptance '
+                  f'{tpc:.2f} tokens/chunk at T=1 (ceiling '
+                  f'{opts.spec + 1}; measured break-even ~{be}) -> {rec}')
+        except SystemExit:
+            raise
+        except Exception as e:                          # noqa: BLE001
+            _fail('spec probe', e)
 
     # ---- stage 8 (optional): int8 serving-path FVD ----
     fvd_int8 = None

@@ -81,16 +81,51 @@ def test_spec_env_opt_in_routes_ar_sample(setup, monkeypatch):
 
 
 def test_spec_scatter_write_identical(setup, monkeypatch):
-    """MMVID_SPEC_SCATTER=1 (row-scatter cache writes instead of the
-    masked one-hot matmul + select) is a pure layout change: tokens and
-    per-lane step counts are bit-identical at sampling temperature."""
+    """MMVID_SPEC_SCATTER=0 (masked one-hot matmul + full-cache select,
+    the measured-slower fallback) vs the default row-scatter cache write
+    is a pure layout change: tokens and per-lane step counts are
+    bit-identical at sampling temperature."""
     core, params, text, visual = setup
     t0, s0 = ar_sample_spec(core, params, text, visual,
                             jax.random.PRNGKey(11), spec_k=4,
                             temperature=1.0)
-    monkeypatch.setenv('MMVID_SPEC_SCATTER', '1')
+    monkeypatch.setenv('MMVID_SPEC_SCATTER', '0')
     t1, s1 = ar_sample_spec(core, params, text, visual,
                             jax.random.PRNGKey(11), spec_k=4,
+                            temperature=1.0)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+
+
+def test_spec_window_greedy_identical(setup, monkeypatch):
+    """MMVID_SPEC_WINDOW=0 (single full-width loop) vs the default
+    per-frame windowed segments: greedy trajectories and per-lane step
+    counts are identical — windowing never discards commits, it only
+    inserts idle iterations for lanes waiting at a segment stop (which
+    greedy sampling ignores: acceptance is deterministic at T->0)."""
+    core, params, text, visual = setup
+    t0, s0 = ar_sample_spec(core, params, text, visual,
+                            jax.random.PRNGKey(13), spec_k=4,
+                            temperature=1e-6)
+    monkeypatch.setenv('MMVID_SPEC_WINDOW', '0')
+    t1, s1 = ar_sample_spec(core, params, text, visual,
+                            jax.random.PRNGKey(13), spec_k=4,
+                            temperature=1e-6)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+
+
+def test_spec_window_sampled_identical_single_lane(setup, monkeypatch):
+    """With one lane there is no cross-lane desync, so the windowed and
+    full-width paths run the exact same chunk sequence AND key stream:
+    sampled tokens are bit-identical, not just equal in distribution."""
+    core, params, text, visual = setup
+    t0, s0 = ar_sample_spec(core, params, text[:1], visual[:1],
+                            jax.random.PRNGKey(17), spec_k=4,
+                            temperature=1.0)
+    monkeypatch.setenv('MMVID_SPEC_WINDOW', '0')
+    t1, s1 = ar_sample_spec(core, params, text[:1], visual[:1],
+                            jax.random.PRNGKey(17), spec_k=4,
                             temperature=1.0)
     np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
     np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))

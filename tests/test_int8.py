@@ -89,6 +89,78 @@ def test_percentile_calibration_orders_and_selects():
         calibrate_int8_scales([aux[CALIB_COL]], 1, percentile=95.0)
 
 
+def test_percentile_calibration_recommendation():
+    """Synthetic-golden A/B behind the README serving default
+    (--int8_percentile 99.9): outlier ACTIVATION CHANNELS — a few hidden
+    channels tens of times the bulk whose output contribution is not
+    proportionate (the standard transformer serving pathology;
+    input-side outliers cannot reproduce it because LayerNorm bounds
+    every post-LN site at sqrt(width), but the post-GELU proj_in site is
+    unbounded).  Abs-max calibration stretches the int8 grid over the
+    outlier channels and quantizes the 252 bulk channels to a couple of
+    levels; 99.9-percentile clipping saturates the low-signal outlier
+    channel and keeps the 255 bulk channels precise.  WITHOUT outliers
+    both calibrations are
+    near-lossless, so percentile clipping is safe to default.  Final
+    arbiter on real weights is the gate's FVD delta
+    (scripts/validate_weights.py --int8 --int8_percentile 99.9)."""
+    import jax.tree_util as jtu
+
+    from mmvid_tpu.models.clip import ClipStackConfig, TransformerStack
+
+    cfg = ClipStackConfig(width=64, layers=1, heads=2)
+    stack = TransformerStack(cfg)
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (2, 65, 64))
+    params = stack.init(jax.random.PRNGKey(1), x0, None)['params']
+
+    def with_outlier_channels(p):
+        """Amplify ONE of the 256 mlp hidden channels x100 and shrink its
+        proj row by the same factor: the fp output is (near-)unchanged,
+        but the proj_in activation site now carries 100x outliers on
+        ~0.2% of its values — inside the 99.9% clip, beyond the bulk."""
+        p = jtu.tree_map(lambda v: v, p)  # deep copy
+        mlp = p['blocks_0']['mlp']
+        fck = np.asarray(mlp['fc']['kernel']).copy()
+        fcb = np.asarray(mlp['fc']['bias']).copy()
+        pjk = np.asarray(mlp['proj']['kernel']).copy()
+        fck[:, :1] *= 100.0
+        fcb[:1] *= 100.0
+        pjk[:1, :] /= 100.0
+        mlp['fc'] = {'kernel': jnp.asarray(fck), 'bias': jnp.asarray(fcb)}
+        mlp['proj'] = {'kernel': jnp.asarray(pjk),
+                       'bias': mlp['proj']['bias']}
+        return p
+
+    def cos(a, b):
+        return float(jnp.sum(a * b)
+                     / (jnp.linalg.norm(a) * jnp.linalg.norm(b)))
+
+    for outliers in (True, False):
+        p = with_outlier_channels(params) if outliers else params
+        calib = jax.random.normal(jax.random.PRNGKey(2), (2, 65, 64))
+        _, aux = stack.apply({'params': p}, calib, None,
+                             mutable=[CALIB_COL])
+        probe = jax.random.normal(jax.random.PRNGKey(3), (2, 65, 64))
+        ref = stack.apply({'params': p}, probe, None)
+
+        def quant_cos(percentile, _p=p, _probe=probe, _ref=ref, _aux=aux):
+            scales = calibrate_int8_scales([_aux[CALIB_COL]], 1,
+                                           percentile=percentile)
+            qstack = TransformerStack(
+                dataclasses.replace(cfg, int8_scales=scales))
+            return cos(_ref, qstack.apply({'params': _p}, _probe, None))
+
+        c_max, c_999 = quant_cos(None), quant_cos(99.9)
+        if outliers:
+            # outlier channel: percentile clipping must strictly beat
+            # abs-max (bulk quantization resolution ~an order finer)
+            assert c_999 > c_max, (c_999, c_max)
+            assert c_999 > 0.99, c_999
+        else:
+            # clean activations: both near-lossless (safe default)
+            assert c_max > 0.995 and c_999 > 0.995, (c_max, c_999)
+
+
 def test_quantized_backbone_close_to_fp_and_samples():
     from __graft_entry__ import _flagship
 

@@ -74,6 +74,48 @@ def synthetic_ckpt(tmp_path_factory):
     return str(ckpt_path), str(data)
 
 
+@pytest.fixture(scope='module')
+def synthetic_ar_ckpt(tmp_path_factory):
+    """Tiny ART-V checkpoint (native orbax layout + taming-format vae
+    .ckpt) for the --spec probe: 32px VQGAN -> 2x2 fmap, so spec_k <= 4."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from mmvid_tpu.models.artv import ArtvConfig, ArtvCore
+    from mmvid_tpu.models.clip import ClipStackConfig
+    from mmvid_tpu.models.vqgan import VQGanVAE
+    from mmvid_tpu.utils.checkpoint import save_checkpoint
+    from mmvid_tpu.utils.torch_compat import vqgan_params_to_torch
+
+    root = tmp_path_factory.mktemp('validate_ar')
+    hparams = {'dim': 64, 'text_seq_len': 12, 'num_targets': 2,
+               'num_visuals': 0, 'which_transformer': 'custom:64:2:2',
+               'image_size': 32, 'insert_sep': False,
+               'use_separate_visual_emb': False,
+               'fixed_language_model': None, 'text_emb_bottleneck': None,
+               'loss_img_weight': 7, 'ar': True}
+    # must match get_dalle's AR rebuild: num_visuals forced to >= 1
+    cfg = ArtvConfig(dim=64, num_text_tokens=49408, text_seq_len=12,
+                     num_visuals=1, num_targets=2, num_image_tokens=1024,
+                     image_fmap_size=2, image_size=32, loss_img_weight=7,
+                     clip=ClipStackConfig(width=64, layers=2, heads=2))
+    core = ArtvCore(cfg)
+    params = core.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 12), jnp.int32),
+                       jnp.zeros((1, cfg.visual_seq_len), jnp.int32),
+                       jnp.zeros((1, cfg.target_seq_len), jnp.int32)
+                       )['params']
+    save_checkpoint(str(root), 5, {'params': params}, hparams=hparams)
+
+    vae = VQGanVAE(image_size=32)
+    sd = vqgan_params_to_torch(vae.params)
+    vae_path = root / 'vae.ckpt'
+    torch.save({'state_dict': {k: torch.from_numpy(np.ascontiguousarray(v))
+                               for k, v in sd.items()}}, str(vae_path))
+    return str(root / 'weights' / '5'), str(vae_path)
+
+
 def test_validate_weights_dry_run(synthetic_ckpt, tmp_path, capsys):
     ckpt, data = synthetic_ckpt
     mod = _load_script()
@@ -120,6 +162,45 @@ def test_validate_weights_int8_dry_run(synthetic_ckpt, tmp_path, capsys,
     # both FVD artifacts exist, in separate dirs
     assert (tmp_path / 'out' / 'fvd_score.txt').exists()
     assert (tmp_path / 'out' / 'int8' / 'fvd_score.txt').exists()
+
+
+def test_validate_weights_spec_probe(synthetic_ckpt, synthetic_ar_ckpt,
+                                     tmp_path, capsys):
+    """--spec on an ART-V checkpoint: greedy spec-vs-baseline equality is
+    re-verified on the loaded weights and the realised acceptance is
+    reported with the enable/disable recommendation (the serving docs'
+    enable-iff rule, ROADMAP round-5)."""
+    _, data = synthetic_ckpt
+    ckpt, vae = synthetic_ar_ckpt
+    mod = _load_script()
+    rc = mod.main(['--dalle', ckpt, '--vae', vae, '--data', data,
+                   '--dataset', 'video_text',
+                   '--eval_num', '2', '--batch_size', '2',
+                   '--frame_num', '2', '--frame_step', '2',
+                   '--allow_random_i3d', '--no_gate', '--spec', '2',
+                   '--out_dir', str(tmp_path / 'out')])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert 'spec probe' in out
+    assert 'greedy spec == baseline: OK' in out
+    assert 'tokens/chunk' in out and 'break-even' in out
+
+
+def test_validate_weights_spec_probe_requires_ar(synthetic_ckpt, tmp_path,
+                                                 capsys):
+    """--spec on the BERT mask-predict checkpoint fails at its stage."""
+    ckpt, data = synthetic_ckpt
+    mod = _load_script()
+    with pytest.raises(SystemExit) as exc:
+        mod.main(['--dalle', ckpt, '--data', data,
+                  '--dataset', 'video_text',
+                  '--eval_num', '2', '--batch_size', '2',
+                  '--mask_predict_steps', '2',
+                  '--frame_num', '2', '--frame_step', '2',
+                  '--allow_random_i3d', '--no_gate', '--spec', '2',
+                  '--out_dir', str(tmp_path / 'out')])
+    assert exc.value.code == 2
+    assert 'FAILED at stage "spec probe"' in capsys.readouterr().err
 
 
 def test_validate_weights_stage_failure(tmp_path, capsys):
