@@ -301,7 +301,7 @@ class ArtvModel:
             ('MMVID_ARTV_WINDOW', 'MMVID_ARTV_FUSED', 'MMVID_ARTV_FLAT',
              'MMVID_ARTV_INT8_WEIGHTS_ONLY', 'MMVID_ARTV_SPEC',
              'MMVID_ARTV_SPEC_FORCE', 'MMVID_SPEC_SCATTER',
-             'MMVID_SPEC_WINDOW'))
+             'MMVID_SPEC_WINDOW', 'MMVID_ARTV_SPLIT'))
         statics = (visual is not None,
                    visual.ndim if visual is not None else 0,
                    filter_thres, temperature, decode, int8, spec_stats,
@@ -524,6 +524,24 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
     # tiles save.  Kept only as the documented closed hypothesis; OFF.
     flat = (not int8 and not fused
             and _os.environ.get('MMVID_ARTV_FLAT', '0') == '1')
+    # Per-layer SPLIT flat caches (MMVID_ARTV_SPLIT, trace-time, default
+    # on): each layer's K/V cache is its own [B, W, D] array (a tuple
+    # carry) instead of a slab of the stacked [n_layers, B, W, heads, hd]
+    # arrays above.  Two wins, both discovered via the spec-decode chunk
+    # loop (artv_spec.py uses exactly this layout): (a) the stacked
+    # cache's (heads=12, hd=64) minor dims force XLA's tiled HBM layout
+    # to pad each slab to (16, 128) — ~2.7x physical bytes streamed per
+    # step on the decode wall; a dense 768-wide minor axis has no pad.
+    # (b) the attention einsums read `cache.reshape(B, W, heads, hd)` —
+    # UNLIKE the MMVID_ARTV_FLAT experiment above, the contraction stays
+    # an einsum (same fp32 numerics, MXU-eligible), not a VPU
+    # broadcast-multiply-reduce; the reshape folds into the einsum's
+    # operand access pattern rather than relayouting the cache.
+    # Measured (v5e, flagship, ROADMAP round-5): 237.9/263.2 f/s b16/b64
+    # vs 172.2/216.2 stacked — +38%/+22%.  MMVID_ARTV_SPLIT=0 restores
+    # the stacked layout (A/B knob).
+    split = (not int8 and not fused and not flat
+             and _os.environ.get('MMVID_ARTV_SPLIT', '1') == '1')
 
     def block_step(p, i, x, cache_k, cache_v, pos):
         """One-token pass through block i, updating the STACKED caches
@@ -589,6 +607,39 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
         h = h * jax.nn.sigmoid(1.702 * h)
         h = dot(h, p['mlp']['proj'])
         return x + h, cache_k, cache_v
+
+    def block_step_split(p, x, ck, cv, pos):
+        """One-token pass through one block over its own per-layer FLAT
+        [B, W, dim] caches (see the MMVID_ARTV_SPLIT note above).  Same
+        einsum formulation and fp32 accumulation as block_step — the
+        reshape views the dense cache as [B, W, heads, hd] without
+        changing values, so the two paths are numerically identical."""
+        W = ck.shape[1]
+        h = _ln(p['ln_1'], x)
+        qkv = dot(h, p['attn']['qkv'])
+        q, k, v = qkv[:, :dim], qkv[:, dim:2 * dim], qkv[:, 2 * dim:]
+        ck = jax.lax.dynamic_update_slice(
+            ck, k.reshape(b, 1, dim).astype(dt), (0, pos, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cv, v.reshape(b, 1, dim).astype(dt), (0, pos, 0))
+        logits = jnp.einsum('bhd,bwhd->bhw',
+                            q.reshape(b, heads, hd).astype(dt),
+                            ck.reshape(b, W, heads, hd),
+                            preferred_element_type=jnp.float32)
+        logits = logits * (hd ** -0.5)
+        valid = jnp.arange(W)[None, None, :] <= pos
+        logits = jnp.where(valid, logits, -1e9)
+        attn = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum('bhw,bwhd->bhd', attn.astype(dt),
+                       cv.reshape(b, W, heads, hd),
+                       preferred_element_type=jnp.float32).reshape(b, -1)
+        o = dot(o, p['attn']['out'])
+        x = x + o
+        h = _ln(p['ln_2'], x)
+        h = dot(h, p['mlp']['fc'])
+        h = h * jax.nn.sigmoid(1.702 * h)
+        h = dot(h, p['mlp']['proj'])
+        return x + h, ck, cv
 
     # ---- prefill: run the control prefix through all blocks, keep K/V ----
     def prefill_block(p, x):
@@ -685,6 +736,16 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
                 pre_k[i].reshape(b, lp, dim).astype(dt))
             cache_v = cache_v.at[i, :, :ctrl_len].set(
                 pre_v[i].reshape(b, lp, dim).astype(dt))
+    elif split:
+        # per-layer tuples of dense [B, W0, D] arrays (see the SPLIT note)
+        cache_k = tuple(
+            jnp.zeros((b, W0, dim), dt).at[:, :ctrl_len].set(
+                pre_k[i].reshape(b, ctrl_len, dim).astype(dt))
+            for i in range(n_layers))
+        cache_v = tuple(
+            jnp.zeros((b, W0, dim), dt).at[:, :ctrl_len].set(
+                pre_v[i].reshape(b, ctrl_len, dim).astype(dt))
+            for i in range(n_layers))
     else:
         cache_k = jnp.zeros((n_layers, b, W0, heads, hd), dt)
         cache_v = jnp.zeros((n_layers, b, W0, heads, hd), dt)
@@ -792,6 +853,14 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
                 cache_k, k_new[:, :, None, :], (0, 0, pos, 0))
             cache_v = jax.lax.dynamic_update_slice(
                 cache_v, v_new[:, :, None, :], (0, 0, pos, 0))
+        elif split:
+            new_k, new_v = [], []
+            for i in range(n_layers):
+                x, nk, nv = block_step_split(dec_blocks[i], x, cache_k[i],
+                                             cache_v[i], pos)
+                new_k.append(nk)
+                new_v.append(nv)
+            cache_k, cache_v = tuple(new_k), tuple(new_v)
         else:
             for i in range(n_layers):
                 if int8:
@@ -823,12 +892,20 @@ def ar_sample(core: ArtvCore, params, text, visual_tokens, key,
     for s in range(-(-n_steps // seg_len)):
         start, stop = s * seg_len, min((s + 1) * seg_len, n_steps)
         W = _wpad(min(ctrl_len + stop, L))
-        grow = W - carry[0].shape[2]
-        if grow > 0:
-            pad = [(0, 0)] * carry[0].ndim
-            pad[2] = (0, grow)
-            carry = (jnp.pad(carry[0], pad), jnp.pad(carry[1], pad),
-                     carry[2], carry[3])
+        if split:
+            grow = W - carry[0][0].shape[1]
+            if grow > 0:
+                gpad = ((0, 0), (0, grow), (0, 0))
+                carry = (tuple(jnp.pad(ck, gpad) for ck in carry[0]),
+                         tuple(jnp.pad(cv, gpad) for cv in carry[1]),
+                         carry[2], carry[3])
+        else:
+            grow = W - carry[0].shape[2]
+            if grow > 0:
+                pad = [(0, 0)] * carry[0].ndim
+                pad[2] = (0, grow)
+                carry = (jnp.pad(carry[0], pad), jnp.pad(carry[1], pad),
+                         carry[2], carry[3])
         carry, fed = jax.lax.scan(step, carry, (jnp.arange(start, stop),))
         fed_parts.append(fed)
     last_tok = carry[2]

@@ -97,6 +97,30 @@ def test_spec_scatter_write_identical(setup, monkeypatch):
     np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
 
 
+def test_artv_split_cache_layout_identical(setup, monkeypatch):
+    """MMVID_ARTV_SPLIT=0 (stacked [n_layers, B, W, heads, hd] caches,
+    the pre-round-5 layout) vs the default per-layer flat [B, W, D]
+    tuple caches is a pure layout change in ar_sample: the attention
+    einsums see the same values (the flat cache is reshaped back to
+    heads for the contraction), so sampled tokens are bit-identical."""
+    core, params, text, visual = setup
+    t0 = ar_sample(core, params, text, visual, jax.random.PRNGKey(17),
+                   temperature=1.0)
+    monkeypatch.setenv('MMVID_ARTV_SPLIT', '0')
+    t1 = ar_sample(core, params, text, visual, jax.random.PRNGKey(17),
+                   temperature=1.0)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    # and with windowing off on both sides (single full-width scan)
+    monkeypatch.setenv('MMVID_ARTV_WINDOW', '0')
+    t2 = ar_sample(core, params, text, visual, jax.random.PRNGKey(17),
+                   temperature=1.0)
+    monkeypatch.setenv('MMVID_ARTV_SPLIT', '1')
+    t3 = ar_sample(core, params, text, visual, jax.random.PRNGKey(17),
+                   temperature=1.0)
+    np.testing.assert_array_equal(np.asarray(t2), np.asarray(t3))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t2))
+
+
 def test_spec_window_greedy_identical(setup, monkeypatch):
     """MMVID_SPEC_WINDOW=0 (single full-width loop) vs the default
     per-frame windowed segments: greedy trajectories and per-lane step
